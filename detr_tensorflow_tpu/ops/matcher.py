@@ -1,0 +1,214 @@
+"""On-device Hungarian matching for DETR set prediction.
+
+The reference ships the cost matrix to the host every training step and
+calls ``scipy.optimize.linear_sum_assignment`` inside a
+``tf.numpy_function`` (detr_tf/loss/hungarian_matching.py:27-46,197),
+serializing device->host->device per image. Here the linear assignment
+problem is solved **on the TPU** with the Jonker-Volgenant shortest
+augmenting path algorithm (the same algorithm family scipy uses),
+expressed as ``lax.fori_loop`` over rows with vectorized column
+relaxations — all static shapes, so it jit-compiles once and ``vmap``s
+over (decoder_layer, batch).
+
+Cost semantics match hungarian_matching.py:163-195:
+    cost = 5 * L1(xcycwh) + 1 * (-softmax_prob[target_class]) + 2 * (-GIoU)
+with boxes clipped to [0,1] when converted to xyxy.
+
+Complexity: O(Q^3) with Q = 100 queries -> ~1e6 vector ops per image,
+microseconds on a TPU core and — crucially — zero host synchronization.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import boxes
+
+Array = jnp.ndarray
+
+_INF = jnp.float32(1e9)
+
+
+def solve_lap(cost: Array) -> Array:
+    """Solve the square linear assignment problem, minimizing total cost.
+
+    Direct vectorization of the classic Jonker-Volgenant shortest
+    augmenting path formulation (1-indexed rows/columns with a virtual
+    column 0 carrying the row being inserted).
+
+    Args:
+      cost: (N, N) float cost matrix. Must be finite.
+
+    Returns:
+      col_of_row: (N,) int32 — column assigned to each row; the assignment
+      attains the same optimal total cost as scipy's linear_sum_assignment.
+    """
+    n = cost.shape[0]
+    assert cost.shape == (n, n), cost.shape
+    cost = cost.astype(jnp.float32)
+    # Pad to 1-indexed: costp[i, j] for i, j in 1..n.
+    costp = jnp.zeros((n + 1, n + 1), jnp.float32).at[1:, 1:].set(cost)
+
+    cols = jnp.arange(n + 1)
+    is_virtual = cols == 0  # column 0 never a real candidate
+
+    def augment_row(i, state):
+        """Insert row i (1-indexed) into the matching."""
+        u, v, p = state  # p[j] = row matched to column j (0 = free)
+        p = p.at[0].set(i)
+
+        minv0 = jnp.full((n + 1,), _INF)
+        way0 = jnp.zeros((n + 1,), jnp.int32)
+        used0 = jnp.zeros((n + 1,), bool)
+
+        def search_cond(s):
+            _, _, _, _, _, j0 = s
+            return p[j0] != 0  # stop when current column is free
+
+        def search_body(s):
+            u_, v_, minv, way, used, j0 = s
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+
+            # Relax all unused real columns from row i0.
+            cur = costp[i0] - u_[i0] - v_  # (n+1,)
+            candidate = jnp.logical_and(~used, ~is_virtual)
+            better = jnp.logical_and(candidate, cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+
+            # Pick the closest unused real column.
+            masked = jnp.where(candidate, minv, _INF)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+
+            # Potential update: for used columns, u[p[j]] += delta and
+            # v[j] -= delta; for unused, minv[j] -= delta. The rows p[j]
+            # over used j are distinct, so a scatter-add is exact.
+            row_idx = jnp.where(used, p, n + 1)  # out-of-bounds -> dropped
+            u_ = u_.at[row_idx].add(delta, mode="drop")
+            v_ = jnp.where(used, v_ - delta, v_)
+            minv = jnp.where(used, minv, minv - delta)
+
+            return u_, v_, minv, way, used, j1
+
+        u, v, _, way, _, j0 = lax.while_loop(
+            search_cond, search_body, (u, v, minv0, way0, used0, jnp.int32(0))
+        )
+
+        # Augment: walk the predecessor chain back to the virtual column.
+        def aug_cond(s):
+            j, _ = s
+            return j != 0
+
+        def aug_body(s):
+            j, p_ = s
+            j1 = way[j]
+            p_ = p_.at[j].set(p_[j1])
+            return j1, p_
+
+        _, p = lax.while_loop(aug_cond, aug_body, (j0, p))
+        return u, v, p
+
+    u0 = jnp.zeros((n + 1,), jnp.float32)
+    v0 = jnp.zeros((n + 1,), jnp.float32)
+    p0 = jnp.zeros((n + 1,), jnp.int32)
+    _, _, p = lax.fori_loop(1, n + 1, augment_row, (u0, v0, p0))
+
+    # p[j] = row (1-indexed) matched to column j; invert to col_of_row.
+    col_of_row = jnp.zeros((n,), jnp.int32).at[p[1:] - 1].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return col_of_row
+
+
+def cost_matrix(
+    p_bbox: Array,
+    p_logits: Array,
+    t_bbox: Array,
+    t_class: Array,
+    t_mask: Array,
+    cost_class: float = 1.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+) -> Array:
+    """DETR matching cost, (Q, T) with padded target columns zeroed.
+
+    Mirrors hungarian_matching.py:172-195: L1 over xcycwh, negative
+    softmax probability of the target class, negative GIoU over clipped
+    xyxy boxes.
+
+    Args:
+      p_bbox:  (Q, 4) predicted boxes, xcycwh.
+      p_logits:(Q, C) class logits.
+      t_bbox:  (T, 4) target boxes (padded slots arbitrary), xcycwh.
+      t_class: (T,)   target class ids (padded slots arbitrary).
+      t_mask:  (T,)   bool, True for real targets.
+    """
+    prob = jax.nn.softmax(p_logits, axis=-1)  # (Q, C)
+    c_class = -prob[:, t_class]  # (Q, T)
+
+    l1 = jnp.sum(jnp.abs(p_bbox[:, None, :] - t_bbox[None, :, :]), axis=-1)
+
+    p_xy = boxes.xcycwh_to_xyxy(p_bbox, clip=True)
+    t_xy = boxes.xcycwh_to_xyxy(t_bbox, clip=True)
+    c_giou = -boxes.giou(p_xy, t_xy)
+
+    cost = cost_bbox * l1 + cost_class * c_class + cost_giou * c_giou
+    # Padded target columns: constant (zero) cost so they act as free
+    # "no-op" columns and never distort the real rows' optimum.
+    cost = jnp.where(t_mask[None, :], cost, 0.0)
+    # Guard against NaN/inf from degenerate boxes in padded slots.
+    return jnp.where(jnp.isfinite(cost), cost, 0.0)
+
+
+def hungarian_match(
+    p_bbox: Array,
+    p_logits: Array,
+    t_bbox: Array,
+    t_class: Array,
+    t_mask: Array,
+):
+    """Match Q predictions to (masked) targets, entirely on device.
+
+    Returns a dict of static-shape arrays:
+      target_of_pred: (Q,) int32 — target slot matched to each query, or -1.
+      pred_of_target: (T,) int32 — query matched to each target slot, or -1
+                       for padded slots.
+      pred_matched:   (Q,) bool — query is matched to a *real* target.
+
+    Every real target is matched (T <= Q: targets are padded into the
+    query budget, reference detr_tf/data/processing.py:35-55).
+    """
+    q = p_bbox.shape[0]
+    t = t_bbox.shape[0]
+    assert t <= q, (t, q)
+
+    cost = cost_matrix(p_bbox, p_logits, t_bbox, t_class, t_mask)  # (Q, T)
+    # Square it up: extra zero-cost columns so every query has a slot.
+    cost_sq = jnp.zeros((q, q), jnp.float32).at[:, :t].set(cost)
+    col_of_row = solve_lap(cost_sq)  # (Q,)
+
+    valid_col = jnp.logical_and(
+        col_of_row < t,
+        t_mask[jnp.clip(col_of_row, 0, t - 1)],
+    )
+    target_of_pred = jnp.where(valid_col, col_of_row, -1)
+
+    # Invert: query matched to each real target slot.
+    scatter_idx = jnp.where(valid_col, col_of_row, t)  # t -> dropped
+    pred_of_target = jnp.full((t,), -1, jnp.int32).at[scatter_idx].set(
+        jnp.arange(q, dtype=jnp.int32), mode="drop"
+    )
+
+    return {
+        "target_of_pred": target_of_pred.astype(jnp.int32),
+        "pred_of_target": pred_of_target,
+        "pred_matched": valid_col,
+    }
+
+
+# Batched version: vmap over leading batch dim.
+hungarian_match_batch = jax.vmap(hungarian_match, in_axes=(0, 0, 0, 0, 0))
