@@ -1,0 +1,7 @@
+"""Model zoo: frozen-BN ResNet backbones, DETR transformer, assemblies."""
+
+from .detr import DETR, as_aux_list  # noqa: F401
+from .resnet import ResNetBackbone, resnet50_backbone, resnet101_backbone  # noqa: F401
+from .transformer import Transformer, MultiHeadAttention  # noqa: F401
+from .position import sine_position_embedding  # noqa: F401
+from .layers import FrozenBatchNorm, MLP  # noqa: F401

@@ -1,0 +1,66 @@
+"""Shared building blocks: frozen batch-norm and the box-head MLP.
+
+Reference equivalents: ``FrozenBatchNorm2D`` (detr_tf/networks/
+custom_layers.py:4-28), the ``(out,in)``-layout ``Linear``
+(custom_layers.py:31-54 — not needed here: our native layout is flax's
+``(in, out)`` and the weight converter transposes), and ``FixedEmbedding``
+(custom_layers.py:57-67).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-style batch norm with frozen statistics and affine.
+
+    All four tensors (weight, bias, running_mean, running_var) live in
+    the ``frozen`` variable collection so no optimizer ever sees them —
+    the flax-native equivalent of the reference's ``trainable=False``
+    weights (custom_layers.py:12-21) and of ``disable_batchnorm_training``
+    (optimizers.py:3-8). The affine transform folds to a single
+    multiply-add which XLA fuses into the preceding conv.
+    """
+
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        weight = self.variable("frozen", "weight", lambda: jnp.ones((c,), jnp.float32))
+        bias = self.variable("frozen", "bias", lambda: jnp.zeros((c,), jnp.float32))
+        mean = self.variable(
+            "frozen", "running_mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        var = self.variable(
+            "frozen", "running_var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = weight.value * jax.lax.rsqrt(var.value + self.eps)
+        shift = bias.value - mean.value * scale
+        return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+
+class MLP(nn.Module):
+    """3-layer box head: Dense-relu x2 then Dense-sigmoid to 4 coords
+    (reference detr.py:49-54, :75-79)."""
+
+    hidden_dim: int = 256
+    out_dim: int = 4
+    num_layers: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers - 1):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layer_{i}")(x)
+            x = nn.relu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name=f"layer_{self.num_layers - 1}")(x)
+        return nn.sigmoid(x)

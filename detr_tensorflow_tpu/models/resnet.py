@@ -1,0 +1,123 @@
+"""Frozen-BN ResNet-50/101 backbones (stride-32, 2048 channels).
+
+Same network family as the reference (detr_tf/networks/resnet_backbone.py:
+torchvision geometry — 7x7/s2 stem + 3x3/s2 maxpool, bottleneck stacks
+3/4/6/3 or 3/4/23/3, stride on the 3x3 conv, optional dilation in place
+of stride), re-expressed as flax modules over NHWC tensors so XLA maps
+the convolutions straight onto the MXU. Batch-norm statistics and affine
+parameters live in the ``frozen`` collection (see layers.FrozenBatchNorm).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import FrozenBatchNorm
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride/dilation) -> 1x1 bottleneck with frozen BN
+    (reference resnet_backbone.py:94-136)."""
+
+    dim1: int
+    dim2: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda f, k, s, d, name, pad: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding=pad,
+            use_bias=False, dtype=self.dtype, name=name,
+        )
+        identity = x
+        out = conv(self.dim1, 1, 1, 1, "conv1", "VALID")(x)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        d = self.dilation
+        out = conv(self.dim1, 3, self.strides, d, "conv2", [(d, d), (d, d)])(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.dim2, 1, 1, 1, "conv3", "VALID")(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.dim2, 1, self.strides, 1, "downsample_conv", "VALID")(x)
+            identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetStage(nn.Module):
+    """A stack of bottlenecks; the first downsamples (resnet_backbone.py:69-91)."""
+
+    num_blocks: int
+    dim1: int
+    dim2: int
+    strides: int = 1
+    dilate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        strides, dilation = (1, 2) if self.dilate else (self.strides, 1)
+        x = Bottleneck(
+            self.dim1, self.dim2, strides=strides, downsample=True,
+            dtype=self.dtype, name="block_0",
+        )(x)
+        for i in range(1, self.num_blocks):
+            x = Bottleneck(
+                self.dim1, self.dim2, dilation=dilation, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x)
+        return x
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet feature extractor: NHWC in, (B, H/32, W/32, 2048) out."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        dims = [(64, 256), (128, 512), (256, 1024), (512, 2048)]
+        dilate = (False,) + tuple(self.replace_stride_with_dilation)
+        for s, (n_blocks, (d1, d2)) in enumerate(zip(self.stage_sizes, dims)):
+            x = ResNetStage(
+                n_blocks, d1, d2, strides=1 if s == 0 else 2, dilate=dilate[s],
+                dtype=self.dtype, name=f"layer{s + 1}",
+            )(x)
+        return x
+
+
+def resnet50_backbone(dtype=jnp.float32, dilation: bool = False) -> ResNetBackbone:
+    """DETR-R50 backbone (resnet_backbone.py:35-49)."""
+    return ResNetBackbone(
+        stage_sizes=(3, 4, 6, 3),
+        replace_stride_with_dilation=(False, False, dilation),
+        dtype=dtype,
+    )
+
+
+def resnet101_backbone(dtype=jnp.float32, dilation: bool = False) -> ResNetBackbone:
+    """DETR-R101 backbone (resnet_backbone.py:52-66)."""
+    return ResNetBackbone(
+        stage_sizes=(3, 4, 23, 3),
+        replace_stride_with_dilation=(False, False, dilation),
+        dtype=dtype,
+    )

@@ -1,0 +1,222 @@
+"""DETR transformer: post-norm encoder-decoder over batch-first tensors.
+
+Functional twin of the reference (detr_tf/networks/transformer.py):
+model_dim 256, 8 heads, FFN 2048, relu, dropout 0.1, 6+6 layers,
+positional encodings added to Q and K at every layer (encoder
+:161-164; decoder self-attn Q=K=target+query_embed :218-221, cross-attn
+Q=target+query_embed / K=memory+pos), decoder target initialized to
+zeros (:45), and the final decoder LayerNorm applied to each
+intermediate layer output (:121-128).
+
+TPU-native differences from the reference:
+  * batch-first (B, S, D) everywhere — no seq-first transposes
+    (the reference reshapes to (HW, B, D), transformer.py:31-43);
+  * attention is one fused einsum pipeline with fp32 softmax, optionally
+    dispatched to a Pallas flash-attention kernel;
+  * key-padding masking actually works (the reference's branch is
+    commented out, transformer.py:322-337) — with the default all-valid
+    mask the masking code is skipped entirely, matching the reference's
+    zero-mask behavior bit for bit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+_NEG_INF = -1e9
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with separate Q/K/V inputs.
+
+    Equivalent math to the reference MHA (transformer.py:237-356): scale
+    ``head_dim ** -0.5`` applied to Q after projection (:307), softmax
+    over keys, dropout on the attention weights (:340-341), output
+    projection. Parameters are stored flax-style ``(in, out)``; the
+    weight converter splits/transposes torch's packed ``in_proj``.
+    """
+
+    model_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"  # "xla" | "pallas"
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        return_weights: bool = False,
+    ):
+        d, h = self.model_dim, self.num_heads
+        dh = d // h
+        b, lq = query.shape[0], query.shape[1]
+        lk = key.shape[1]
+
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(value)
+
+        q = q.reshape(b, lq, h, dh) * jnp.asarray(dh**-0.5, self.dtype)
+        k = k.reshape(b, lk, h, dh)
+        v = v.reshape(b, lk, h, dh)
+
+        use_pallas = (
+            self.attn_impl == "pallas"
+            and not return_weights
+            and (self.dropout == 0.0 or not train)
+            and key_padding_mask is None
+        )
+        if use_pallas:
+            from ..ops.pallas import flash_attention
+
+            out = flash_attention.mha(q, k, v)  # (B, Lq, H, Dh), pre-scaled q
+            attn = None
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            if key_padding_mask is not None:
+                pad = key_padding_mask[:, None, None, :]  # True = padded
+                logits = jnp.where(pad, _NEG_INF, logits)
+            attn = nn.softmax(logits, axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+        out = out.reshape(b, lq, d)
+        out = nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+        if return_weights:
+            # Head-averaged weights, like the reference's need_weights path
+            # (transformer.py:349-354).
+            return out, jnp.mean(attn, axis=1)
+        return out
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm encoder layer (reference transformer.py:136-179)."""
+
+    model_dim: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, src, pos, key_padding_mask=None, train=False):
+        qk = src + pos
+        attn = MultiHeadAttention(
+            self.model_dim, self.num_heads, self.dropout, self.dtype,
+            self.attn_impl, name="self_attn",
+        )(qk, qk, src, key_padding_mask=key_padding_mask, train=train)
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(attn)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
+
+        x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.model_dim, dtype=self.dtype, name="linear2")(x)
+        src = src + nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    """Post-norm decoder layer: query self-attn, cross-attn to memory, FFN
+    (reference transformer.py:183-234)."""
+
+    model_dim: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self, tgt, memory, pos, query_pos, memory_key_padding_mask=None, train=False
+    ):
+        qk = tgt + query_pos
+        attn = MultiHeadAttention(
+            self.model_dim, self.num_heads, self.dropout, self.dtype,
+            self.attn_impl, name="self_attn",
+        )(qk, qk, tgt, train=train)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(attn)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
+
+        attn = MultiHeadAttention(
+            self.model_dim, self.num_heads, self.dropout, self.dtype,
+            self.attn_impl, name="cross_attn",
+        )(
+            tgt + query_pos, memory + pos, memory,
+            key_padding_mask=memory_key_padding_mask, train=train,
+        )
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(attn)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
+
+        x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.model_dim, dtype=self.dtype, name="linear2")(x)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
+
+
+class Transformer(nn.Module):
+    """Encoder-decoder returning the stack of per-layer decoder outputs.
+
+    Inputs are batch-first: src (B, S, D) flattened feature map, pos
+    (B, S, D), query_embed (Q, D). Output hs is (L, B, Q, D) — every
+    decoder layer's output through the shared final LayerNorm
+    (reference transformer.py:121-128) — plus the encoder memory.
+    """
+
+    model_dim: int = 256
+    num_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, src, pos, query_embed, key_padding_mask=None, train=False):
+        b = src.shape[0]
+
+        memory = src
+        for i in range(self.num_encoder_layers):
+            memory = EncoderLayer(
+                self.model_dim, self.num_heads, self.dim_feedforward,
+                self.dropout, self.dtype, self.attn_impl,
+                name=f"encoder_layer_{i}",
+            )(memory, pos, key_padding_mask=key_padding_mask, train=train)
+
+        query_pos = jnp.broadcast_to(
+            query_embed[None], (b,) + query_embed.shape
+        ).astype(self.dtype)
+        tgt = jnp.zeros_like(query_pos)  # reference transformer.py:45
+
+        final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        intermediate = []
+        for i in range(self.num_decoder_layers):
+            tgt = DecoderLayer(
+                self.model_dim, self.num_heads, self.dim_feedforward,
+                self.dropout, self.dtype, self.attn_impl,
+                name=f"decoder_layer_{i}",
+            )(
+                tgt, memory, pos, query_pos,
+                memory_key_padding_mask=key_padding_mask, train=train,
+            )
+            intermediate.append(final_norm(tgt))
+
+        hs = jnp.stack(intermediate, axis=0)  # (L, B, Q, D)
+        return hs, memory
