@@ -1,0 +1,336 @@
+"""Pretrained-weight conversion and loading.
+
+The reference downloads a converted-from-PyTorch Keras checkpoint and
+restores it by layer name (detr_tf/networks/weights.py:5-37), keeping
+PyTorch tensor layouts alive inside the TF graph via custom layers
+(custom_layers.py:31-54, transformer.py:294-305). Our native format is a
+plain flax variables pytree (``{'params': ..., 'frozen': ...}``); this
+module converts *into* it from either of the two public DETR weight
+naming schemes:
+
+  * ``facebook`` — the original facebookresearch/detr checkpoints
+    (``detr-r50-e632da11.pth``): packed ``in_proj_weight`` attention
+    parameters, ``backbone.0.body.*`` ResNet naming;
+  * ``hf`` — HuggingFace ``DetrForObjectDetection`` state_dicts:
+    split q/k/v projections, ``model.backbone.conv_encoder.*`` naming.
+
+Layout rules: torch Linear ``(out, in)`` -> flax ``(in, out)`` transpose;
+torch Conv ``OIHW`` -> flax ``HWIO`` transpose; BN statistics land in the
+``frozen`` collection.
+
+Loading is file-based (``.pth`` / ``.npz``) — this build environment has
+no network egress, so unlike the reference there is no GCS download;
+point ``DETR_TPU_WEIGHTS`` or the ``weights_path`` argument at a local
+checkpoint instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+Tree = Dict[str, object]
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / array -> float32 numpy."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _linear(sd: Mapping, prefix: str) -> Tree:
+    return {
+        "kernel": _t(sd[f"{prefix}.weight"]).T,
+        "bias": _t(sd[f"{prefix}.bias"]),
+    }
+
+
+def _layernorm(sd: Mapping, prefix: str) -> Tree:
+    return {
+        "scale": _t(sd[f"{prefix}.weight"]),
+        "bias": _t(sd[f"{prefix}.bias"]),
+    }
+
+
+def _conv(sd: Mapping, key: str) -> Tree:
+    return {"kernel": _t(sd[key]).transpose(2, 3, 1, 0)}  # OIHW -> HWIO
+
+
+def _bn(sd: Mapping, prefix: str) -> Tree:
+    return {
+        "weight": _t(sd[f"{prefix}.weight"]),
+        "bias": _t(sd[f"{prefix}.bias"]),
+        "running_mean": _t(sd[f"{prefix}.running_mean"]),
+        "running_var": _t(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _packed_attention(sd: Mapping, prefix: str, d: int) -> Tree:
+    """facebook scheme: split packed (3d, d) in_proj into q/k/v."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])
+    b = _t(sd[f"{prefix}.in_proj_bias"])
+    out = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = {
+            "kernel": w[i * d : (i + 1) * d].T,
+            "bias": b[i * d : (i + 1) * d],
+        }
+    out["out_proj"] = _linear(sd, f"{prefix}.out_proj")
+    return out
+
+
+def _split_attention(sd: Mapping, prefix: str) -> Tree:
+    """hf scheme: q/k/v already split."""
+    return {
+        name: _linear(sd, f"{prefix}.{name}")
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj")
+    }
+
+
+# ---------------------------------------------------------------------------
+# ResNet backbone
+# ---------------------------------------------------------------------------
+
+_STAGE_SIZES = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+def _convert_backbone(
+    sd: Mapping, scheme: str, depth: int
+) -> Tuple[Tree, Tree]:
+    """Returns (params, frozen) subtrees for the ``backbone`` module."""
+    if scheme == "facebook":
+        root = "backbone.0.body"
+
+        def conv_key(s, b, j):
+            return f"{root}.layer{s + 1}.{b}.conv{j + 1}.weight"
+
+        def bn_prefix(s, b, j):
+            return f"{root}.layer{s + 1}.{b}.bn{j + 1}"
+
+        def short_conv_key(s, b):
+            return f"{root}.layer{s + 1}.{b}.downsample.0.weight"
+
+        def short_bn_prefix(s, b):
+            return f"{root}.layer{s + 1}.{b}.downsample.1"
+
+        stem_conv = f"{root}.conv1.weight"
+        stem_bn = f"{root}.bn1"
+    elif scheme == "hf":
+        root = "model.backbone.conv_encoder.model"
+
+        def conv_key(s, b, j):
+            return f"{root}.encoder.stages.{s}.layers.{b}.layer.{j}.convolution.weight"
+
+        def bn_prefix(s, b, j):
+            return f"{root}.encoder.stages.{s}.layers.{b}.layer.{j}.normalization"
+
+        def short_conv_key(s, b):
+            return f"{root}.encoder.stages.{s}.layers.{b}.shortcut.convolution.weight"
+
+        def short_bn_prefix(s, b):
+            return f"{root}.encoder.stages.{s}.layers.{b}.shortcut.normalization"
+
+        stem_conv = f"{root}.embedder.embedder.convolution.weight"
+        stem_bn = f"{root}.embedder.embedder.normalization"
+    else:
+        raise ValueError(scheme)
+
+    params: Tree = {"conv1": _conv(sd, stem_conv)}
+    frozen: Tree = {"bn1": _bn(sd, stem_bn)}
+    for s, n_blocks in enumerate(_STAGE_SIZES[depth]):
+        layer_p: Tree = {}
+        layer_f: Tree = {}
+        for b in range(n_blocks):
+            block_p: Tree = {}
+            block_f: Tree = {}
+            for j in range(3):
+                block_p[f"conv{j + 1}"] = _conv(sd, conv_key(s, b, j))
+                block_f[f"bn{j + 1}"] = _bn(sd, bn_prefix(s, b, j))
+            if b == 0:
+                block_p["downsample_conv"] = _conv(sd, short_conv_key(s, b))
+                block_f["downsample_bn"] = _bn(sd, short_bn_prefix(s, b))
+            layer_p[f"block_{b}"] = block_p
+            layer_f[f"block_{b}"] = block_f
+        params[f"layer{s + 1}"] = layer_p
+        frozen[f"layer{s + 1}"] = layer_f
+    return params, frozen
+
+
+# ---------------------------------------------------------------------------
+# Transformer + heads
+# ---------------------------------------------------------------------------
+
+
+def _convert_transformer(
+    sd: Mapping, scheme: str, num_encoder_layers: int, num_decoder_layers: int,
+    model_dim: int,
+) -> Tree:
+    tr: Tree = {}
+    if scheme == "facebook":
+        for i in range(num_encoder_layers):
+            p = f"transformer.encoder.layers.{i}"
+            tr[f"encoder_layer_{i}"] = {
+                "self_attn": _packed_attention(sd, f"{p}.self_attn", model_dim),
+                "linear1": _linear(sd, f"{p}.linear1"),
+                "linear2": _linear(sd, f"{p}.linear2"),
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+            }
+        for i in range(num_decoder_layers):
+            p = f"transformer.decoder.layers.{i}"
+            tr[f"decoder_layer_{i}"] = {
+                "self_attn": _packed_attention(sd, f"{p}.self_attn", model_dim),
+                "cross_attn": _packed_attention(sd, f"{p}.multihead_attn", model_dim),
+                "linear1": _linear(sd, f"{p}.linear1"),
+                "linear2": _linear(sd, f"{p}.linear2"),
+                "norm1": _layernorm(sd, f"{p}.norm1"),
+                "norm2": _layernorm(sd, f"{p}.norm2"),
+                "norm3": _layernorm(sd, f"{p}.norm3"),
+            }
+        tr["decoder_norm"] = _layernorm(sd, "transformer.decoder.norm")
+    else:  # hf
+        for i in range(num_encoder_layers):
+            p = f"model.encoder.layers.{i}"
+            tr[f"encoder_layer_{i}"] = {
+                "self_attn": _split_attention(sd, f"{p}.self_attn"),
+                "linear1": _linear(sd, f"{p}.fc1"),
+                "linear2": _linear(sd, f"{p}.fc2"),
+                "norm1": _layernorm(sd, f"{p}.self_attn_layer_norm"),
+                "norm2": _layernorm(sd, f"{p}.final_layer_norm"),
+            }
+        for i in range(num_decoder_layers):
+            p = f"model.decoder.layers.{i}"
+            tr[f"decoder_layer_{i}"] = {
+                "self_attn": _split_attention(sd, f"{p}.self_attn"),
+                "cross_attn": _split_attention(sd, f"{p}.encoder_attn"),
+                "linear1": _linear(sd, f"{p}.fc1"),
+                "linear2": _linear(sd, f"{p}.fc2"),
+                "norm1": _layernorm(sd, f"{p}.self_attn_layer_norm"),
+                "norm2": _layernorm(sd, f"{p}.encoder_attn_layer_norm"),
+                "norm3": _layernorm(sd, f"{p}.final_layer_norm"),
+            }
+        tr["decoder_norm"] = _layernorm(sd, "model.decoder.layernorm")
+    return tr
+
+
+def convert_torch_detr(
+    state_dict: Mapping,
+    scheme: str = "auto",
+    backbone_depth: int = 50,
+    num_encoder_layers: int = 6,
+    num_decoder_layers: int = 6,
+    model_dim: int = 256,
+) -> Tree:
+    """Torch DETR state_dict -> flax variables ``{'params', 'frozen'}``.
+
+    ``scheme='auto'`` sniffs facebook vs huggingface naming.
+    """
+    keys = list(state_dict.keys())
+    if scheme == "auto":
+        scheme = "hf" if any(k.startswith("model.") for k in keys) else "facebook"
+
+    bb_params, bb_frozen = _convert_backbone(state_dict, scheme, backbone_depth)
+    tr = _convert_transformer(
+        state_dict, scheme, num_encoder_layers, num_decoder_layers, model_dim
+    )
+
+    if scheme == "facebook":
+        input_proj_w = "input_proj.weight"
+        input_proj_b = "input_proj.bias"
+        query = "query_embed.weight"
+        cls = "class_embed"
+        bbox = "bbox_embed.layers"
+    else:
+        input_proj_w = "model.input_projection.weight"
+        input_proj_b = "model.input_projection.bias"
+        query = "model.query_position_embeddings.weight"
+        cls = "class_labels_classifier"
+        bbox = "bbox_predictor.layers"
+
+    params: Tree = {
+        "backbone": bb_params,
+        "transformer": tr,
+        "input_proj": {
+            "kernel": _t(state_dict[input_proj_w]).transpose(2, 3, 1, 0),
+            "bias": _t(state_dict[input_proj_b]),
+        },
+        "query_embed": _t(state_dict[query]),
+        "class_embed": _linear(state_dict, cls),
+        "bbox_embed": {
+            f"layer_{j}": _linear(state_dict, f"{bbox}.{j}") for j in range(3)
+        },
+    }
+    return {"params": params, "frozen": {"backbone": bb_frozen}}
+
+
+# ---------------------------------------------------------------------------
+# File-based loading (reference weights.py:13-37 equivalent, egress-free)
+# ---------------------------------------------------------------------------
+
+WEIGHT_SEARCH_PATHS = ("weights/detr", os.path.expanduser("~/.cache/detr_tpu"))
+
+
+def save_variables_npz(variables: Tree, path: str) -> None:
+    """Flatten a variables pytree into an npz archive."""
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    rec("", variables)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_variables_npz(path: str) -> Tree:
+    data = np.load(path)
+    tree: Tree = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
+def load_weights(name_or_path: str = "detr", **convert_kwargs) -> Tree:
+    """Load DETR weights from a local file, converting torch formats.
+
+    Accepts a direct path to a ``.npz`` (our native converted format) or
+    ``.pth``/``.pt``/``.bin`` (torch state_dict, facebook or hf naming),
+    or a short name (e.g. ``"detr"``) searched under ``weights/detr`` and
+    ``$DETR_TPU_WEIGHTS``.
+    """
+    candidates = []
+    if os.path.exists(name_or_path):
+        candidates.append(name_or_path)
+    else:
+        search = [os.environ.get("DETR_TPU_WEIGHTS", "")] + list(WEIGHT_SEARCH_PATHS)
+        for d in filter(None, search):
+            for ext in (".npz", ".pth", ".pt", ".bin"):
+                candidates.append(os.path.join(d, name_or_path + ext))
+    for path in candidates:
+        if not os.path.exists(path):
+            continue
+        if path.endswith(".npz"):
+            return load_variables_npz(path)
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+            sd = sd["model"]  # facebook checkpoints nest under 'model'
+        return convert_torch_detr(sd, **convert_kwargs)
+    raise FileNotFoundError(
+        f"No local weights found for '{name_or_path}'. This environment has no "
+        "network egress; place a torch checkpoint (facebook detr-r50-*.pth or a "
+        "HuggingFace DetrForObjectDetection state_dict) or a converted .npz "
+        "under weights/detr/ or point DETR_TPU_WEIGHTS at it."
+    )
