@@ -52,6 +52,7 @@ class DETR(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     backbone_depth: int = 50  # 50 | 101
+    backbone_stage_sizes: Optional[tuple] = None  # override (tests/custom)
     dilation: bool = False
     head: str = "detr"
     nb_class: Optional[int] = None  # for head == "finetune"
@@ -66,7 +67,9 @@ class DETR(nn.Module):
             omitted, everything is valid — identical to the reference's
             all-zeros padding mask (detr.py:172).
         """
-        stage_sizes = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.backbone_depth]
+        stage_sizes = self.backbone_stage_sizes or {
+            50: (3, 4, 6, 3), 101: (3, 4, 23, 3)
+        }[self.backbone_depth]
         feats = ResNetBackbone(
             stage_sizes=stage_sizes,
             replace_stride_with_dilation=(False, False, self.dilation),

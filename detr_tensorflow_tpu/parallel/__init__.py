@@ -1,0 +1,12 @@
+"""Device-mesh parallelism: data-parallel sharding over ICI via
+`jax.sharding` (the reference has none — 'Multi GPU training comming
+soon', README.md:135; its only scaling device is host-side gradient
+aggregation, optimizers.py:137-163)."""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,147 @@
+"""Training configuration.
+
+The reference threads a mutable god-object through every layer
+(``TrainingConfig``, detr_tf/training_config.py:41-103 — data loaders and
+model assembly write back into it, SURVEY.md §1). Here configuration is a
+frozen dataclass: anything a component "discovers" (e.g. the dataset's
+background class) is *returned* and folded into a new config via
+``replace``. Learning rates stay runtime values passed into the jitted
+step (so schedules/manual changes never retrace — the TPU-native
+equivalent of the reference's ``tf.Variable`` LRs,
+training_config.py:64-68).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths (reference training_config.py:106-112)."""
+
+    data_dir: Optional[str] = None
+    img_dir: Optional[str] = None
+    ann_file: Optional[str] = None
+    ann_dir: Optional[str] = None
+
+    @property
+    def full_img_dir(self) -> Optional[str]:
+        if self.data_dir and self.img_dir:
+            return os.path.join(self.data_dir, self.img_dir)
+        return self.img_dir
+
+    @property
+    def full_ann_file(self) -> Optional[str]:
+        if self.data_dir and self.ann_file:
+            return os.path.join(self.data_dir, self.ann_file)
+        return self.ann_file
+
+    @property
+    def full_ann_dir(self) -> Optional[str]:
+        if self.data_dir and self.ann_dir:
+            return os.path.join(self.data_dir, self.ann_dir)
+        return self.ann_dir
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig:
+    """Flag surface matches the reference parser
+    (training_config.py:6-38) plus TPU-native additions."""
+
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    background_class: int = 0
+    image_size: Tuple[int, int] = (376, 672)  # (height, width)
+
+    # What to train (reference: train_backbone/train_transformers/train_nlayers)
+    train_backbone: bool = False
+    train_transformers: bool = False
+    train_nlayers: bool = False
+
+    # How to train
+    finetuning: bool = False
+    batch_size: int = 1
+    gradient_norm_clipping: float = 0.1
+    target_batch: Optional[int] = 1  # virtual batch via accumulation
+
+    # Learning rates (runtime-adjustable; no retrace on change)
+    backbone_lr: float = 1e-5
+    transformers_lr: float = 1e-4
+    nlayers_lr: float = 1e-4
+
+    # Logging / bookkeeping
+    log: bool = False
+    global_step: int = 0  # informational; the authoritative step lives in TrainState
+
+    # Pipeline
+    normalized_method: str = "torch_resnet"
+
+    # TPU-native knobs
+    compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
+    attn_impl: str = "xla"  # "pallas" to use the flash-attention kernel
+    num_queries: int = 100
+    data_parallel: int = 1  # devices along the mesh's data axis
+    checkpoint_dir: Optional[str] = None
+
+    @property
+    def gradient_aggregate(self) -> int:
+        if self.target_batch is None:
+            return 1
+        return max(1, int(self.target_batch) // int(self.batch_size))
+
+    def replace(self, **kw) -> "TrainingConfig":
+        return dataclasses.replace(self, **kw)
+
+    def update_from_args(self, args: argparse.Namespace) -> "TrainingConfig":
+        """Fold parsed CLI args into a new config (reference
+        training_config.py:85-103, minus the mutation)."""
+        kw = {}
+        for f in dataclasses.fields(self):
+            if f.name in ("data",):
+                continue
+            if hasattr(args, f.name) and getattr(args, f.name) is not None:
+                kw[f.name] = getattr(args, f.name)
+        data = DataConfig(
+            data_dir=getattr(args, "data_dir", None),
+            img_dir=getattr(args, "img_dir", None),
+            ann_file=getattr(args, "ann_file", None),
+            ann_dir=getattr(args, "ann_dir", None),
+        )
+        return self.replace(data=data, **kw)
+
+
+def training_config_parser() -> argparse.ArgumentParser:
+    """CLI flags, superset of the reference parser (training_config.py:6-38;
+    note the reference's LR flags are mistyped ``type=bool`` — fixed here)."""
+    p = argparse.ArgumentParser(description="detr_tensorflow_tpu training")
+    # Dataset
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--img_dir", type=str, default=None)
+    p.add_argument("--ann_file", type=str, default=None)
+    p.add_argument("--ann_dir", type=str, default=None)
+    p.add_argument("--background_class", type=int, default=None)
+    # What to train
+    p.add_argument("--train_backbone", action="store_true", default=None)
+    p.add_argument("--train_transformers", action="store_true", default=None)
+    p.add_argument("--train_nlayers", action="store_true", default=None)
+    # How to train
+    p.add_argument("--finetuning", action="store_true", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--gradient_norm_clipping", type=float, default=None)
+    p.add_argument("--target_batch", type=int, default=None)
+    # Learning rates
+    p.add_argument("--backbone_lr", type=float, default=None)
+    p.add_argument("--transformers_lr", type=float, default=None)
+    p.add_argument("--nlayers_lr", type=float, default=None)
+    # Logging
+    p.add_argument("--log", action="store_true", default=None)
+    # TPU-native
+    p.add_argument("--compute_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
+    p.add_argument("--data_parallel", type=int, default=None)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    return p

@@ -1,0 +1,234 @@
+"""Training engine: one jitted step end to end.
+
+The whole step — forward, vmapped on-device Hungarian matching, set
+loss, backward, three-group Adam with per-tensor clipnorm, gradient
+accumulation, optional data-parallel all-reduce — is a single XLA
+program (the reference splits this across a ``tf.function`` graph, a
+host scipy hop per image, and a Python gradient-aggregation loop;
+SURVEY.md §3.1). Learning rates are runtime inputs so schedules and
+mid-run changes (reference finetune_voc.py:90-96) never retrace.
+
+API parity: ``fit`` / ``eval_loop`` mirror ``training.fit`` /
+``training.eval`` (detr_tf/training.py:35-87), including the every-100-
+steps console line and the per-group LR logging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..ops.losses import detr_loss
+from ..parallel import mesh as mesh_lib
+from . import optimizers as opt_lib
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    frozen: Any
+    opt_state: Any
+    step: Array
+    dropout_rng: Array
+
+
+def create_train_state(
+    model, variables: Dict[str, Any], config, rng: Optional[Array] = None
+) -> "tuple[TrainState, optax.GradientTransformation]":
+    """Initialize optimizer state from model variables."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    params = variables["params"]
+    frozen = variables.get("frozen", {})
+    tx = opt_lib.make_optimizer(config, params)
+    opt_state = tx.init(params)
+    state = TrainState(
+        params=params,
+        frozen=frozen,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+        dropout_rng=rng,
+    )
+    return state, tx
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    config,
+    mesh=None,
+) -> Callable:
+    """Build the jitted train step: (state, batch, lrs) -> (state, log).
+
+    batch: {'images': (B,H,W,3), 'boxes': (B,T,4), 'classes': (B,T),
+            'mask': (B,T)} — native fixed-slot target layout.
+    lrs: {'backbone','transformers','nlayers'} scalar f32 arrays.
+    """
+    background_class = int(config.background_class)
+
+    def step_fn(state: TrainState, batch, lrs):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "frozen": state.frozen},
+                batch["images"],
+                train=True,
+                rngs={"dropout": rng},
+            )
+            total, log = detr_loss(
+                out, batch["boxes"], batch["classes"], batch["mask"],
+                background_class,
+            )
+            return total, log
+
+        (total, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = opt_lib.scale_updates_by_lr(updates, lrs)
+        params = optax.apply_updates(state.params, updates)
+        log = dict(log)
+        log["total_loss"] = total
+        log["backbone_lr"] = lrs["backbone"]
+        log["transformers_lr"] = lrs["transformers"]
+        log["nlayers_lr"] = lrs["nlayers"]
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, log
+
+    if mesh is not None:
+        repl = mesh_lib.replicated_sharding(mesh)
+        data = mesh_lib.batch_sharding(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model, config, mesh=None) -> Callable:
+    """Jitted validation step: (state, batch) -> log (loss metrics)."""
+    background_class = int(config.background_class)
+
+    def step_fn(state: TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "frozen": state.frozen},
+            batch["images"],
+            train=False,
+        )
+        total, log = detr_loss(
+            out, batch["boxes"], batch["classes"], batch["mask"], background_class
+        )
+        log = dict(log)
+        log["total_loss"] = total
+        return out, log
+
+    if mesh is not None:
+        repl = mesh_lib.replicated_sharding(mesh)
+        data = mesh_lib.batch_sharding(mesh)
+        return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=(data, repl))
+    return jax.jit(step_fn)
+
+
+class Trainer:
+    """Stateful convenience wrapper tying model, optimizer, and mesh."""
+
+    def __init__(self, model, variables, config, mesh=None, rng=None):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.state, self.tx = create_train_state(model, variables, config, rng)
+        if mesh is not None:
+            self.state = mesh_lib.replicate(self.state, mesh)
+        self.train_step = make_train_step(model, self.tx, config, mesh)
+        self.eval_step = make_eval_step(model, config, mesh)
+        self._lrs = opt_lib.lr_dict(config)
+
+    def set_learning_rates(self, **kw):
+        """Adjust LRs mid-run without retracing (e.g. staged unfreeze)."""
+        for k, v in kw.items():
+            assert k in self._lrs, k
+            self._lrs[k] = jnp.asarray(v, jnp.float32)
+
+    def set_trainable(self, **kw):
+        """Flip train_{backbone,transformers,nlayers}; rebuilds the
+        optimizer (one retrace), preserving params and step."""
+        self.config = self.config.replace(**kw)
+        tx = opt_lib.make_optimizer(self.config, jax.tree.map(lambda x: x, self.state.params))
+        opt_state = tx.init(self.state.params)
+        self.tx = tx
+        self.state = self.state.replace(opt_state=opt_state)
+        if self.mesh is not None:
+            self.state = mesh_lib.replicate(self.state, self.mesh)
+        self.train_step = make_train_step(self.model, tx, self.config, self.mesh)
+        self._lrs = opt_lib.lr_dict(self.config)
+
+    def step(self, batch):
+        if self.mesh is not None:
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+        self.state, log = self.train_step(self.state, batch, self._lrs)
+        return log
+
+    def evaluate(self, batch):
+        if self.mesh is not None:
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+        return self.eval_step(self.state, batch)
+
+    @property
+    def variables(self):
+        return {"params": self.state.params, "frozen": self.state.frozen}
+
+
+def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None,
+        log_fn=None, log_every: int = 100):
+    """One epoch over ``train_dataset`` (an iterable of native batches) —
+    console cadence mirrors reference training.py:35-65."""
+    del class_names
+    t0 = time.time()
+    for epoch_step, batch in enumerate(train_dataset):
+        log = trainer.step(batch)
+        if log_fn is not None:
+            log_fn({k: float(v) for k, v in log.items()}, int(trainer.state.step))
+        if epoch_step % log_every == 0:
+            log = jax.device_get(log)
+            elapsed = time.time() - t0
+            print(
+                f"Epoch: [{epoch_nb}], \t Step: [{epoch_step}], \t "
+                f"ce: [{float(log['label_cost']):.2f}] \t "
+                f"giou: [{float(log['giou_loss']):.2f}] \t "
+                f"l1: [{float(log['l1_loss']):.2f}] \t time: [{elapsed:.2f}]"
+            )
+            t0 = time.time()
+
+
+def eval_loop(trainer: Trainer, valid_dataset, config, class_names=None,
+              evaluation_step: int = 200, log_fn=None):
+    """Validation loss loop (reference training.py:68-87)."""
+    del class_names
+    logs = []
+    for val_step, batch in enumerate(valid_dataset):
+        _, log = trainer.evaluate(batch)
+        logs.append(jax.device_get(log))
+        if val_step % 10 == 0:
+            print(
+                f"Validation step: [{val_step}], \t "
+                f"ce: [{float(log['label_cost']):.2f}] \t "
+                f"giou: [{float(log['giou_loss']):.2f}] \t "
+                f"l1: [{float(log['l1_loss']):.2f}]"
+            )
+        if log_fn is not None and val_step == 0:
+            log_fn({k: float(v) for k, v in log.items()}, int(trainer.state.step))
+        if val_step + 1 >= evaluation_step:
+            break
+    return logs

@@ -1,0 +1,225 @@
+"""Training engine: optimizer groups, accumulation, DP mesh, checkpointing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detr_tensorflow_tpu.models import DETR
+from detr_tensorflow_tpu.train import (
+    TrainingConfig,
+    Trainer,
+    save_checkpoint,
+    restore_latest,
+)
+from detr_tensorflow_tpu.train import optimizers as opt_lib
+from detr_tensorflow_tpu.parallel import make_mesh
+
+
+def _tiny_model(head="detr", **kw):
+    defaults = dict(
+        num_classes=5, num_queries=6, model_dim=16, num_heads=2,
+        num_encoder_layers=1, num_decoder_layers=2, dim_feedforward=32,
+        dropout=0.0, head=head, backbone_stage_sizes=(1, 1, 1, 1),
+    )
+    defaults.update(kw)
+    return DETR(**defaults)
+
+
+def _batch(rng, b=2, h=32, w=32, t=6):
+    images = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+    boxes = np.zeros((b, t, 4), np.float32)
+    classes = np.zeros((b, t), np.int32)
+    mask = np.zeros((b, t), bool)
+    for i in range(b):
+        n = 2
+        boxes[i, :n] = rng.uniform(0.3, 0.7, size=(n, 4))
+        classes[i, :n] = rng.integers(1, 4, size=(n,))
+        mask[i, :n] = True
+    return {
+        "images": jnp.asarray(images), "boxes": jnp.asarray(boxes),
+        "classes": jnp.asarray(classes), "mask": jnp.asarray(mask),
+    }
+
+
+def _init(model, rng_key=0):
+    return model.init(jax.random.PRNGKey(rng_key), jnp.zeros((1, 32, 32, 3)))
+
+
+def test_param_labels_partition():
+    model = _tiny_model(head="finetune", nb_class=4)
+    variables = _init(model)
+    labels = opt_lib.param_labels(variables["params"])
+    assert labels["backbone"]["conv1"]["kernel"] == "backbone"
+    assert labels["input_proj"]["kernel"] == "backbone"
+    flat = jax.tree.leaves(labels["transformer"])
+    assert all(v == "transformers" for v in flat)
+    assert labels["cls_layer"]["kernel"] == "nlayers"
+    assert jax.tree.leaves(labels["pos_layer"])[0] == "nlayers"
+
+
+def test_loss_decreases_training_all(rng):
+    model = _tiny_model()
+    config = TrainingConfig(
+        background_class=0, train_backbone=True, train_transformers=True,
+        target_batch=None, backbone_lr=1e-3, transformers_lr=1e-3,
+    )
+    trainer = Trainer(model, _init(model), config)
+    batch = _batch(rng)
+    losses = [float(trainer.step(batch)["total_loss"]) for _ in range(12)]
+    assert losses[-1] < losses[0], losses
+
+
+def test_frozen_groups_do_not_move(rng):
+    model = _tiny_model()
+    config = TrainingConfig(
+        background_class=0, train_backbone=False, train_transformers=True,
+        target_batch=None,
+    )
+    trainer = Trainer(model, _init(model), config)
+    bb_before = jax.device_get(trainer.state.params["backbone"])
+    tr_before = jax.device_get(trainer.state.params["transformer"])
+    for _ in range(3):
+        trainer.step(_batch(rng))
+    bb_after = jax.device_get(trainer.state.params["backbone"])
+    tr_after = jax.device_get(trainer.state.params["transformer"])
+    for a, b in zip(jax.tree.leaves(bb_before), jax.tree.leaves(bb_after)):
+        np.testing.assert_array_equal(a, b)
+    moved = any(
+        np.abs(a - b).max() > 0
+        for a, b in zip(jax.tree.leaves(tr_before), jax.tree.leaves(tr_after))
+    )
+    assert moved
+
+
+def test_gradient_accumulation_applies_every_k(rng):
+    model = _tiny_model()
+    config = TrainingConfig(
+        background_class=0, train_transformers=True, batch_size=2, target_batch=4,
+    )
+    assert config.gradient_aggregate == 2
+    trainer = Trainer(model, _init(model), config)
+    p0 = jax.device_get(trainer.state.params["transformer"])
+    batch = _batch(rng)
+    trainer.step(batch)  # microstep 1: no apply yet
+    p1 = jax.device_get(trainer.state.params["transformer"])
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(a, b)
+    trainer.step(batch)  # microstep 2: update applied
+    p2 = jax.device_get(trainer.state.params["transformer"])
+    moved = any(
+        np.abs(a - b).max() > 0
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p2))
+    )
+    assert moved
+
+
+def test_lr_change_no_retrace(rng):
+    model = _tiny_model()
+    config = TrainingConfig(background_class=0, train_transformers=True, target_batch=None)
+    trainer = Trainer(model, _init(model), config)
+    batch = _batch(rng)
+    trainer.step(batch)
+    compiles_before = trainer.train_step._cache_size()
+    trainer.set_learning_rates(transformers=3e-4)
+    trainer.step(batch)
+    assert trainer.train_step._cache_size() == compiles_before
+
+
+def test_data_parallel_matches_single_device(rng):
+    # The DP invariant: loss and gradients computed over a batch sharded
+    # across the mesh (psum over ICI) equal the single-device big batch.
+    # (Post-Adam parameter deltas are NOT compared: the first Adam step is
+    # ~sign(g)*lr, which amplifies benign reduction-order noise.)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs simulated multi-device CPU")
+    from detr_tensorflow_tpu.ops.losses import detr_loss
+    from detr_tensorflow_tpu.parallel import mesh as mesh_lib
+
+    model = _tiny_model()
+    variables = _init(model)
+    batch = _batch(rng, b=4)
+
+    def loss_fn(params, batch):
+        out = model.apply({"params": params, "frozen": variables["frozen"]},
+                          batch["images"], train=False)
+        total, _ = detr_loss(out, batch["boxes"], batch["classes"],
+                             batch["mask"], 0)
+        return total
+
+    grad_fn = jax.value_and_grad(loss_fn)
+    loss_a, grads_a = jax.jit(grad_fn)(variables["params"], batch)
+
+    mesh = make_mesh(4)
+    repl = mesh_lib.replicated_sharding(mesh)
+    data = mesh_lib.batch_sharding(mesh)
+    sharded_fn = jax.jit(grad_fn, in_shardings=(repl, data),
+                         out_shardings=(repl, repl))
+    loss_b, grads_b = sharded_fn(
+        jax.device_put(variables["params"], repl),
+        mesh_lib.shard_batch(batch, mesh),
+    )
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(grads_a)),
+                    jax.tree.leaves(jax.device_get(grads_b))):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+    # And the full train step runs end-to-end on the mesh.
+    config = TrainingConfig(
+        background_class=0, train_transformers=True, train_backbone=True,
+        target_batch=None,
+    )
+    t_mesh = Trainer(model, variables, config, mesh=mesh)
+    log = t_mesh.step(batch)
+    assert np.isfinite(float(log["total_loss"]))
+
+
+def test_eval_step_runs(rng):
+    model = _tiny_model()
+    config = TrainingConfig(background_class=0)
+    trainer = Trainer(model, _init(model), config)
+    out, log = trainer.evaluate(_batch(rng))
+    assert np.isfinite(float(log["total_loss"]))
+    assert out["pred_logits"].shape == (2, 6, 5)
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    model = _tiny_model()
+    config = TrainingConfig(background_class=0, train_transformers=True, target_batch=None)
+    trainer = Trainer(model, _init(model), config)
+    trainer.step(_batch(rng))
+    trainer.step(_batch(rng))
+    path_dir = str(tmp_path / "ckpt")
+    save_checkpoint(trainer.state, path_dir)
+
+    other = Trainer(model, _init(model, rng_key=9), config)
+    restored = restore_latest(other.state, path_dir)
+    assert restored is not None
+    assert int(restored.step) == 2
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(trainer.state.params)),
+        jax.tree.leaves(jax.device_get(restored.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_staged_unfreeze(rng):
+    # finetune_voc.py:90-96 pattern: heads-only first, then transformers.
+    model = _tiny_model(head="finetune", nb_class=4)
+    config = TrainingConfig(
+        background_class=0, train_nlayers=True, target_batch=None, nlayers_lr=1e-3
+    )
+    trainer = Trainer(model, _init(model), config)
+    batch = _batch(rng)
+    trainer.step(batch)
+    tr_p0 = jax.device_get(trainer.state.params["transformer"])
+    trainer.set_trainable(train_transformers=True)
+    trainer.set_learning_rates(transformers=1e-4, nlayers=1e-4)
+    trainer.step(batch)
+    tr_p1 = jax.device_get(trainer.state.params["transformer"])
+    moved = any(
+        np.abs(a - b).max() > 0
+        for a, b in zip(jax.tree.leaves(tr_p0), jax.tree.leaves(tr_p1))
+    )
+    assert moved
+    assert int(trainer.state.step) == 2  # step counter survives the rebuild

@@ -25,6 +25,7 @@ def _tiny_detr(**kw):
         num_decoder_layers=3,
         dim_feedforward=64,
         dropout=0.0,
+        backbone_stage_sizes=(1, 1, 1, 1),
     )
     defaults.update(kw)
     return DETR(**defaults)
