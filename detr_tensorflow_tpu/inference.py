@@ -1,0 +1,127 @@
+"""Inference postprocessing and visualization.
+
+The TPU-native postprocess is **batched and static-shape**: for every
+query it returns (box, label, score, keep) where ``keep`` marks
+non-background detections — the jit-friendly equivalent of the
+reference's dynamic ``tf.where`` filter over batch element 0
+(detr_tf/inference.py:68-95). ``get_model_inference`` keeps the
+reference's exact call signature and single-image ragged outputs for
+API parity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import boxes as bbox_ops
+
+Array = jnp.ndarray
+
+
+def postprocess(
+    m_outputs: Dict[str, Array], background_class: int, bbox_format: str = "xy_center"
+) -> Tuple[Array, Array, Array, Array]:
+    """Batched, jittable postprocess.
+
+    Args:
+      m_outputs: {'pred_logits': (B, Q, C), 'pred_boxes': (B, Q, 4)}.
+      background_class: class id to drop.
+      bbox_format: 'xy_center' | 'xyxy' | 'yxyx' (reference naming).
+
+    Returns (boxes (B, Q, 4), labels (B, Q), scores (B, Q), keep (B, Q)).
+    """
+    logits = m_outputs["pred_logits"]
+    pred_boxes = m_outputs["pred_boxes"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    scores = jnp.max(probs, axis=-1)
+    labels = jnp.argmax(probs, axis=-1)
+    keep = labels != background_class
+
+    if bbox_format == "xy_center":
+        out_boxes = pred_boxes
+    elif bbox_format == "xyxy":
+        out_boxes = bbox_ops.xcycwh_to_xyxy(pred_boxes, clip=True)
+    elif bbox_format == "yxyx":
+        out_boxes = bbox_ops.xcycwh_to_yxyx(pred_boxes, clip=True)
+    else:
+        raise NotImplementedError(bbox_format)
+    return out_boxes, labels, scores, keep
+
+
+def get_model_inference(
+    m_outputs: Dict[str, Array], background_class: int, bbox_format: str = "xy_center"
+):
+    """Reference-signature single-image inference (inference.py:68-95):
+    operates on batch element 0 and returns ragged numpy arrays of the
+    non-background detections."""
+    boxes_, labels, scores, keep = postprocess(
+        m_outputs, background_class, bbox_format
+    )
+    keep0 = np.asarray(keep[0])
+    return (
+        np.asarray(boxes_[0])[keep0],
+        np.asarray(labels[0])[keep0],
+        np.asarray(scores[0])[keep0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Visualization (host-side, cv2) — reference inference.py:10-65
+# ---------------------------------------------------------------------------
+
+_CLASS_COLORS = np.random.RandomState(0).randint(0, 255, (200, 3))
+
+
+def numpy_bbox_to_image(
+    image: np.ndarray,
+    bbox_list: np.ndarray,
+    labels=None,
+    scores=None,
+    class_name=(),
+    config=None,
+    unnormalize: bool = True,
+):
+    """Draw xcycwh-normalized boxes onto an image (uint8 RGB returned)."""
+    import cv2
+
+    from .data.processing import denormalize_image
+
+    image = np.asarray(image)
+    if unnormalize and config is not None and image.dtype != np.uint8:
+        image = denormalize_image(image, config)
+    elif image.dtype != np.uint8:
+        image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+    image = np.ascontiguousarray(image)
+
+    h, w = image.shape[:2]
+    bbox_list = np.asarray(bbox_list).reshape(-1, 4)
+    if labels is None:
+        labels = np.zeros((len(bbox_list),), int)
+    xyxy = bbox_ops.np_xcycwh_to_xyxy(
+        bbox_ops.np_rescale_bbox_xcycwh(bbox_list, (h, w))
+    )
+    areas = (xyxy[:, 2] - xyxy[:, 0]) * (xyxy[:, 3] - xyxy[:, 1])
+    for b in np.argsort(areas)[::-1]:
+        x1, y1, x2, y2 = (int(v) for v in xyxy[b])
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(w, x2), min(h, y2)
+        class_id = int(labels[int(b)])
+        name = (
+            class_name[class_id]
+            if class_id < len(class_name)
+            else str(class_id)
+        )
+        if scores is not None and len(scores) > 0:
+            name = f"{name}:{float(scores[b]):.2f}"
+        color = tuple(int(c) for c in _CLASS_COLORS[class_id % 200])
+        cv2.rectangle(image, (x1, y1), (x2, y2), color, 2)
+        cv2.rectangle(image, (x1, y1 - 14), (x1 + 8 * len(name), y1), color, -1)
+        cv2.putText(
+            image, name, (x1 + 1, y1 - 3), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
+            (0, 0, 0), 1,
+        )
+    return image
