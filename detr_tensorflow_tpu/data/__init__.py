@@ -7,5 +7,11 @@ from .processing import (  # noqa: F401
     denormalize_image,
     pad_targets,
     pad_labels,
+    pad_image_to_bucket,
     unpack_labels,
 )
+from .coco import load_coco_dataset, COCO_CLASS_NAME  # noqa: F401
+from .voc import load_voc_dataset, VOC_CLASS_NAME  # noqa: F401
+from .tfcsv import load_tfcsv_dataset  # noqa: F401
+from .pipeline import HostDataset, prefetch_to_device  # noqa: F401
+from .transforms import detr_transform  # noqa: F401

@@ -1,0 +1,149 @@
+"""COCO dataset loader.
+
+Capability parity with the reference loader (detr_tf/data/coco.py):
+class-name table with N/A gaps and a trailing "back" background class at
+``max_category_id + 1`` (coco.py:95-103), relative-xcycwh box conversion
+(coco.py:44-52), crowd-image and empty-image filtering (coco.py:118),
+shuffle + fixed-slot target padding + drop-remainder batching
+(coco.py:110-125). Differences: no pycocotools / tf.data / imgaug
+dependencies — a JSON index, a thread-pool pipeline, and cv2 transforms;
+and instead of mutating the config with the discovered background class
+(coco.py:103) the loader *returns* it via ``class_names``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import processing, transforms
+from .coco_api import CocoIndex
+from .pipeline import HostDataset
+
+# Display names for the standard 91-id COCO category space + "back".
+COCO_CLASS_NAME = [
+    "N/A", "person", "bicycle", "car", "motorcycle", "airplane", "bus",
+    "train", "truck", "boat", "traffic light", "fire hydrant", "N/A",
+    "stop sign", "parking meter", "bench", "bird", "cat", "dog", "horse",
+    "sheep", "cow", "elephant", "bear", "zebra", "giraffe", "N/A", "backpack",
+    "umbrella", "N/A", "N/A", "handbag", "tie", "suitcase", "frisbee", "skis",
+    "snowboard", "sports ball", "kite", "baseball bat", "baseball glove",
+    "skateboard", "surfboard", "tennis racket", "bottle", "N/A", "wine glass",
+    "cup", "fork", "knife", "spoon", "bowl", "banana", "apple", "sandwich",
+    "orange", "broccoli", "carrot", "hot dog", "pizza", "donut", "cake",
+    "chair", "couch", "potted plant", "bed", "N/A", "dining table", "N/A",
+    "N/A", "toilet", "N/A", "tv", "laptop", "mouse", "remote", "keyboard",
+    "cell phone", "microwave", "oven", "toaster", "sink", "refrigerator",
+    "N/A", "book", "clock", "vase", "scissors", "teddy bear", "hair drier",
+    "toothbrush", "back",
+]
+
+
+def _read_image(path: str) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    image = imageio.imread(path)
+    if image.ndim == 2:
+        image = np.stack([image] * 3, axis=-1)
+    if image.shape[-1] == 4:
+        image = image[..., :3]
+    return image
+
+
+def get_coco_labels(coco: CocoIndex, img_id: int, image_shape) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Boxes (n,4) relative xcycwh, classes (n,), is_crowd flag
+    (reference coco.py:30-57)."""
+    anns = coco.loadAnnsForImage(img_id)
+    h, w = float(image_shape[0]), float(image_shape[1])
+    bbox, cls = [], []
+    crowd = 0
+    for ann in anns:
+        x, y, bw, bh = ann["bbox"]
+        if ann.get("iscrowd", 0):
+            crowd = 1
+        bbox.append([(x + bw / 2) / w, (y + bh / 2) / h, bw / w, bh / h])
+        cls.append(ann["category_id"])
+    return (
+        np.asarray(bbox, np.float32).reshape(-1, 4),
+        np.asarray(cls, np.int32).reshape(-1),
+        crowd,
+    )
+
+
+def load_coco_dataset(
+    config,
+    batch_size: int,
+    augmentation: Optional[bool] = False,
+    ann_dir: Optional[str] = None,
+    ann_file: Optional[str] = None,
+    img_dir: Optional[str] = None,
+    shuffle: bool = True,
+    bucket_divisor: int = 128,
+    num_workers: int = 8,
+    seed: int = 0,
+):
+    """Build (dataset, class_names).
+
+    augmentation semantics follow the reference (coco.py:73):
+      * True  — train transforms + resize to config.image_size;
+      * False — resize only;
+      * None  — original size (evaluation), bucket-padded with a pixel
+        mask so XLA compiles a bounded set of shapes.
+    """
+    del ann_dir
+    ann_file = ann_file or config.data.full_ann_file
+    img_dir = img_dir or config.data.full_img_dir
+    coco = CocoIndex(ann_file)
+
+    cats = coco.loadCats(coco.getCatIds())
+    max_id = max(c["id"] for c in cats)
+    class_names = ["N/A"] * (max_id + 2)
+    class_names[-1] = "back"
+    for c in cats:
+        class_names[c["id"]] = c["name"]
+    background_class = max_id + 1
+
+    rng = np.random.default_rng(seed)
+
+    def load_example(img_id):
+        img = coco.loadImgs([img_id])[0]
+        image = _read_image(os.path.join(img_dir, img["file_name"]))
+        t_bbox, t_class, is_crowd = get_coco_labels(coco, img["id"], image.shape)
+        if is_crowd or len(t_bbox) == 0:
+            return None  # reference filter, coco.py:118
+        if augmentation is not None:
+            image, t_bbox, t_class = transforms.detr_transform(
+                image, t_bbox, t_class, config, augmentation, rng=rng
+            )
+            if len(t_bbox) == 0:
+                return None
+            image = processing.normalized_images(image, config)
+            boxes, classes, mask = processing.pad_targets(t_bbox, t_class)
+            return {
+                "images": image.astype(np.float32),
+                "boxes": boxes, "classes": classes, "mask": mask,
+            }
+        # Original-size eval: bucket-pad + pixel mask.
+        image = processing.normalized_images(image, config)
+        padded, pixel_mask, (h, w) = processing.pad_image_to_bucket(
+            image, bucket_divisor
+        )
+        scale = np.array(
+            [w / padded.shape[1], h / padded.shape[0]] * 2, np.float32
+        )
+        boxes, classes, mask = processing.pad_targets(t_bbox * scale, t_class)
+        return {
+            "images": padded.astype(np.float32),
+            "pixel_mask": pixel_mask,
+            "boxes": boxes, "classes": classes, "mask": mask,
+        }
+
+    ids = coco.getImgIds()
+    dataset = HostDataset(
+        ids, load_example, batch_size, shuffle=shuffle, seed=seed,
+        num_workers=num_workers,
+    )
+    dataset.background_class = background_class
+    return dataset, class_names

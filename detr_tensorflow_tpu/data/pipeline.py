@@ -1,0 +1,132 @@
+"""tf.data-free host input pipeline.
+
+The reference funnels everything through ``tf.data`` +
+``tf.numpy_function`` (SURVEY.md §2.2) — a host-Python boundary per
+image. Here the pipeline is an explicit, dependency-free prefetching
+iterator: a thread pool decodes/augments images concurrently while a
+bounded queue keeps batches ready for the accelerator. The device never
+waits on Python between steps as long as the pool keeps up.
+
+Every batch is a dict of stacked numpy arrays in the native target
+layout (see data/processing.py): images, boxes, classes, mask — static
+shapes, ready for ``jax.device_put`` onto a sharded mesh.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def stack_batch(examples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = examples[0].keys()
+    return {k: np.stack([e[k] for e in examples], axis=0) for k in keys}
+
+
+class HostDataset:
+    """Index-based dataset with shuffling, filtering, batching, prefetch.
+
+    Args:
+      indices: the example keys (any list; passed to load_fn).
+      load_fn: index -> example dict, or None to drop the example
+        (the reference's ``dataset.filter`` for crowd/empty images,
+        data/coco.py:118).
+      batch_size: examples per batch; incomplete final batches dropped
+        (``drop_remainder=True`` parity, data/coco.py:123 — and a static
+        batch dim for XLA).
+      shuffle: reshuffle indices each epoch.
+      num_workers: decode/augment threads.
+      prefetch: max ready batches buffered ahead.
+    """
+
+    def __init__(
+        self,
+        indices: Sequence,
+        load_fn: Callable,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 8,
+        collate_fn: Callable = stack_batch,
+    ):
+        self.indices = list(indices)
+        self.load_fn = load_fn
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.indices) // self.batch_size
+
+    def _epoch_indices(self) -> List:
+        idx = list(self.indices)
+        if self.shuffle:
+            perm = self._rng.permutation(len(idx))
+            idx = [idx[i] for i in perm]
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    pending: List = []
+                    for ex in pool.map(self.load_fn, self._epoch_indices()):
+                        if stop.is_set():
+                            return
+                        if ex is None:
+                            continue
+                        pending.append(ex)
+                        if len(pending) == self.batch_size:
+                            out_q.put(self.collate_fn(pending))
+                            pending = []
+                    # drop remainder (static batch shape)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the producer can finish putting.
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:  # pragma: no cover
+                    break
+
+
+def prefetch_to_device(iterator, sharding=None, depth: int = 2):
+    """Overlap host->device transfer with compute: keeps ``depth`` batches
+    already on device (optionally sharded over a mesh)."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    for batch in iterator:
+        if sharding is not None:
+            batch = jax.device_put(batch, sharding)
+        else:
+            batch = jax.device_put(batch)
+        buf.append(batch)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -94,6 +94,29 @@ def pad_labels(images, t_bbox, t_class, max_targets: int = MAX_TARGETS):
     return images, bbox_out, cls_out
 
 
+def pad_image_to_bucket(image: np.ndarray, divisor: int = 128):
+    """Zero-pad an image so H and W are multiples of ``divisor``.
+
+    Static-shape discipline for variable-size (original-size) evaluation:
+    the reference re-traces eagerly per unique image shape
+    (SURVEY.md §3.2); bucketing bounds the number of compiled programs
+    while the validity mask keeps attention/positional encodings exact.
+
+    Returns (padded_image, pixel_mask (H', W') bool, (orig_h, orig_w)).
+    Normalized box coordinates must be rescaled by
+    ``(orig / padded)`` per axis — IoU is invariant since both
+    predictions and ground truth scale identically.
+    """
+    h, w = image.shape[:2]
+    ph = ((h + divisor - 1) // divisor) * divisor
+    pw = ((w + divisor - 1) // divisor) * divisor
+    out = np.zeros((ph, pw) + image.shape[2:], image.dtype)
+    out[:h, :w] = image
+    mask = np.zeros((ph, pw), bool)
+    mask[:h, :w] = True
+    return out, mask, (h, w)
+
+
 def unpack_labels(t_bbox, t_class):
     """Convert the reference's header layout (batched) to the native
     (boxes, classes, mask) layout — device-side, static shapes.

@@ -1,0 +1,211 @@
+"""Data pipeline: synthetic COCO/VOC/CSV datasets end to end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from detr_tensorflow_tpu.data import (
+    HostDataset,
+    detr_transform,
+    load_coco_dataset,
+    load_tfcsv_dataset,
+    load_voc_dataset,
+    pad_image_to_bucket,
+)
+from detr_tensorflow_tpu.train import DataConfig, TrainingConfig
+
+
+class _Cfg:
+    image_size = (64, 96)
+    normalized_method = "torch_resnet"
+
+
+def _write_png(path, h, w, rng):
+    import cv2
+
+    img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+    cv2.imwrite(path, img)
+
+
+@pytest.fixture
+def coco_root(tmp_path, rng):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    ann_id = 0
+    for i in range(6):
+        h, w = int(rng.integers(50, 120)), int(rng.integers(50, 120))
+        name = f"img{i}.png"
+        _write_png(str(img_dir / name), h, w, rng)
+        images.append({"id": i, "file_name": name, "height": h, "width": w})
+        for _ in range(int(rng.integers(1, 4))):
+            bw, bh = float(rng.uniform(5, w / 2)), float(rng.uniform(5, h / 2))
+            x, y = float(rng.uniform(0, w - bw)), float(rng.uniform(0, h - bh))
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": int(rng.integers(1, 4)),
+                "bbox": [x, y, bw, bh], "iscrowd": 1 if i == 5 else 0,
+            })
+            ann_id += 1
+    categories = [{"id": c, "name": f"cat{c}"} for c in (1, 2, 3)]
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps({
+        "images": images, "annotations": annotations, "categories": categories,
+    }))
+    return tmp_path
+
+
+def test_host_dataset_batching_and_filtering(rng):
+    def load(i):
+        if i % 3 == 0:
+            return None
+        return {"x": np.full((2,), i, np.float32)}
+
+    ds = HostDataset(list(range(12)), load, batch_size=2, shuffle=False)
+    batches = list(ds)
+    # 8 surviving examples -> 4 batches of 2
+    assert len(batches) == 4
+    assert batches[0]["x"].shape == (2, 2)
+    seen = sorted(int(b["x"][j, 0]) for b in batches for j in range(2))
+    assert seen == [i for i in range(12) if i % 3 != 0]
+
+
+def test_detr_transform_resize_only(rng):
+    img = rng.integers(0, 255, size=(100, 80, 3)).astype(np.uint8)
+    boxes = np.array([[0.5, 0.5, 0.4, 0.6]], np.float32)
+    out_img, out_boxes, out_cls = detr_transform(img, boxes, np.array([2]), _Cfg(), False)
+    assert out_img.shape == (64, 96, 3)
+    np.testing.assert_allclose(out_boxes, boxes, atol=1e-3)  # pure resize keeps rel coords
+    assert out_cls.tolist() == [2]
+
+
+def test_detr_transform_augmented_valid(rng):
+    img = rng.integers(0, 255, size=(100, 80, 3)).astype(np.uint8)
+    boxes = np.array([[0.5, 0.5, 0.4, 0.6], [0.3, 0.3, 0.2, 0.2]], np.float32)
+    nrng = np.random.default_rng(3)
+    for _ in range(20):
+        out_img, out_boxes, out_cls = detr_transform(
+            img, boxes, np.array([1, 2]), _Cfg(), True, rng=nrng
+        )
+        assert out_img.shape == (64, 96, 3)
+        assert len(out_boxes) == len(out_cls) <= 2
+        if len(out_boxes):
+            assert (out_boxes[:, :2] >= 0).all() and (out_boxes[:, :2] <= 1).all()
+            assert (out_boxes[:, 2:] > 0).all() and (out_boxes[:, 2:] <= 1 + 1e-6).all()
+
+
+def test_coco_loader_end_to_end(coco_root):
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(coco_root), img_dir="images", ann_file="ann.json"),
+        image_size=(64, 96),
+    )
+    ds, class_names = load_coco_dataset(config, batch_size=2, augmentation=False,
+                                        num_workers=2)
+    assert class_names[-1] == "back"
+    assert class_names[1] == "cat1"
+    assert ds.background_class == 4
+    batches = list(ds)
+    assert len(batches) >= 1
+    b = batches[0]
+    assert b["images"].shape == (2, 64, 96, 3)
+    assert b["boxes"].shape == (2, 100, 4)
+    assert b["classes"].shape == (2, 100)
+    assert b["mask"].shape == (2, 100)
+    assert b["mask"].any()
+    # crowd image (id 5) filtered: at most 5 usable examples -> 2 batches
+    assert len(batches) <= 2
+
+
+def test_coco_loader_original_size_buckets(coco_root):
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(coco_root), img_dir="images", ann_file="ann.json"),
+    )
+    ds, _ = load_coco_dataset(
+        config, batch_size=1, augmentation=None, bucket_divisor=64,
+        shuffle=False, num_workers=1,
+    )
+    for b in ds:
+        h, w = b["images"].shape[1:3]
+        assert h % 64 == 0 and w % 64 == 0
+        assert b["pixel_mask"].shape == (1, h, w)
+        assert b["pixel_mask"].any()
+        break
+
+
+def test_bucket_padding_box_rescale(rng):
+    img = rng.normal(size=(100, 150, 3)).astype(np.float32)
+    padded, mask, (h, w) = pad_image_to_bucket(img, 64)
+    assert padded.shape == (128, 192, 3)
+    assert mask[:100, :150].all() and not mask[100:].any()
+    np.testing.assert_array_equal(padded[:100, :150], img)
+
+
+@pytest.fixture
+def voc_root(tmp_path, rng):
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "Annotations").mkdir()
+    import cv2
+
+    for i in range(4):
+        h, w = 80, 100
+        img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "JPEGImages" / f"im{i}.jpg"), img)
+        xml = f"""<annotation><size><width>{w}</width><height>{h}</height></size>
+        <object><name>dog</name><bndbox><xmin>10</xmin><ymin>10</ymin><xmax>50</xmax><ymax>60</ymax></bndbox></object>
+        <object><name>cat</name><bndbox><xmin>30</xmin><ymin>20</ymin><xmax>90</xmax><ymax>70</ymax></bndbox></object>
+        </annotation>"""
+        (tmp_path / "Annotations" / f"im{i}.xml").write_text(xml)
+    return tmp_path
+
+
+def test_voc_loader_end_to_end(voc_root):
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(voc_root), img_dir="JPEGImages", ann_dir="Annotations"),
+        image_size=(64, 96),
+    )
+    ds, class_names = load_voc_dataset(config, batch_size=2, augmentation=False,
+                                       num_workers=2)
+    assert class_names[0] == "back"
+    assert set(class_names) == {"back", "dog", "cat"}
+    assert ds.background_class == 0
+    b = next(iter(ds))
+    assert b["images"].shape == (2, 64, 96, 3)
+    assert int(b["mask"][0].sum()) == 2
+
+
+@pytest.fixture
+def csv_root(tmp_path, rng):
+    import cv2
+
+    (tmp_path / "imgs").mkdir()
+    rows = ["filename,width,height,class,xmin,ymin,xmax,ymax"]
+    for i in range(4):
+        name = f"f{i}.png"
+        img = rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "imgs" / name), img)
+        rows.append(f"{name},90,60,helmet,10,10,40,40")
+        rows.append(f"{name},90,60,person,30,5,80,55")
+    (tmp_path / "ann.csv").write_text("\n".join(rows))
+    return tmp_path
+
+
+def test_csv_loader_end_to_end(csv_root):
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(csv_root), img_dir="imgs", ann_file="ann.csv"),
+        image_size=(64, 96),
+    )
+    ds, class_names = load_tfcsv_dataset(
+        config, batch_size=2, augmentation=False, num_workers=2
+    )
+    assert class_names == ["background", "helmet", "person"]
+    b = next(iter(ds))
+    assert b["images"].shape == (2, 64, 96, 3)
+    assert int(b["mask"][0].sum()) == 2
+
+    ds2, class_names2 = load_tfcsv_dataset(
+        config, batch_size=1, augmentation=False, exclude=["person"], num_workers=1
+    )
+    assert class_names2 == ["background", "helmet"]
+    b2 = next(iter(ds2))
+    assert int(b2["mask"][0].sum()) == 1
