@@ -5,3 +5,4 @@ from .resnet import ResNetBackbone, resnet50_backbone, resnet101_backbone  # noq
 from .transformer import Transformer, MultiHeadAttention  # noqa: F401
 from .position import sine_position_embedding  # noqa: F401
 from .layers import FrozenBatchNorm, MLP  # noqa: F401
+from .api import DetrModel, build_detr, get_detr_model  # noqa: F401

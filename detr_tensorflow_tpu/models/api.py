@@ -1,0 +1,162 @@
+"""User-facing model construction API.
+
+``get_detr_model`` mirrors the reference entry point
+(detr_tf/networks/detr.py:116-204) — the include_top / headless /
+new-heads variants, optional pretrained weights, and the ``tf_backbone``
+normalization switch — returning a ``DetrModel`` bundle (module +
+variables + cached jitted apply) instead of a Keras graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .detr import DETR
+from . import weights as weights_lib
+
+
+class DetrModel:
+    """A model bundle: flax module + variables + jit cache.
+
+    Callable like the reference Keras model: ``model(images)`` returns
+    the output dict. ``variables`` plug directly into the Trainer.
+    """
+
+    def __init__(self, module: DETR, variables: Dict[str, Any],
+                 normalized_method: str = "torch_resnet"):
+        self.module = module
+        self.variables = variables
+        self.normalized_method = normalized_method
+        self._jitted = {}
+
+    def _get_apply(self, train: bool, with_mask: bool):
+        key = (train, with_mask)
+        if key not in self._jitted:
+            if with_mask:
+                def fn(variables, images, pixel_mask, rngs=None):
+                    return self.module.apply(
+                        variables, images, pixel_mask=pixel_mask,
+                        train=train, rngs=rngs,
+                    )
+            else:
+                def fn(variables, images, rngs=None):
+                    return self.module.apply(
+                        variables, images, train=train, rngs=rngs
+                    )
+            self._jitted[key] = jax.jit(fn) if not train else fn
+        return self._jitted[key]
+
+    def __call__(self, images, pixel_mask=None, training: bool = False, rngs=None):
+        images = jnp.asarray(images)
+        fn = self._get_apply(training, pixel_mask is not None)
+        if pixel_mask is not None:
+            return fn(self.variables, images, jnp.asarray(pixel_mask), rngs=rngs)
+        return fn(self.variables, images, rngs=rngs)
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    @property
+    def frozen(self):
+        return self.variables.get("frozen", {})
+
+
+def build_detr(
+    num_classes: int = 92,
+    num_queries: int = 100,
+    head: str = "detr",
+    nb_class: Optional[int] = None,
+    num_encoder_layers: int = 6,
+    num_decoder_layers: int = 6,
+    backbone_depth: int = 50,
+    backbone_stage_sizes=None,
+    dilation: bool = False,
+    dtype: str = "float32",
+    attn_impl: str = "xla",
+    weights: Optional[str] = None,
+    image_size=(376, 672),
+    seed: int = 42,
+    normalized_method: str = "torch_resnet",
+) -> DetrModel:
+    """Construct a DETR bundle, optionally loading converted weights."""
+    module = DETR(
+        num_classes=num_classes,
+        num_queries=num_queries,
+        num_encoder_layers=num_encoder_layers,
+        num_decoder_layers=num_decoder_layers,
+        backbone_depth=backbone_depth,
+        backbone_stage_sizes=backbone_stage_sizes,
+        dilation=dilation,
+        head=head,
+        nb_class=nb_class,
+        dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype],
+        attn_impl=attn_impl,
+    )
+    h, w = image_size
+    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
+
+    if weights is not None:
+        loaded = weights_lib.load_weights(
+            weights,
+            backbone_depth=backbone_depth,
+            num_encoder_layers=num_encoder_layers,
+            num_decoder_layers=num_decoder_layers,
+        )
+        loaded = jax.tree.map(jnp.asarray, loaded)
+        if head == "detr":
+            variables = loaded
+        else:
+            # Keep pretrained trunk, fresh heads (reference
+            # include_top=False + load_weights path, detr.py:137-179).
+            params = dict(variables["params"])
+            for key in ("backbone", "transformer", "input_proj", "query_embed"):
+                params[key] = loaded["params"][key]
+            variables = {"params": params, "frozen": loaded["frozen"]}
+
+    return DetrModel(module, variables, normalized_method=normalized_method)
+
+
+def get_detr_model(
+    config=None,
+    include_top: bool = False,
+    nb_class: Optional[int] = None,
+    weights: Optional[str] = None,
+    tf_backbone: bool = False,
+    num_decoder_layers: int = 6,
+    num_encoder_layers: int = 6,
+    **kwargs,
+) -> DetrModel:
+    """Reference-signature model factory (detr.py:116).
+
+    * ``include_top=True`` — pretrained 92-class heads;
+    * ``include_top=False, nb_class=None`` — headless (returns hs stack);
+    * ``include_top=False, nb_class=N`` — fresh finetuning heads.
+
+    ``tf_backbone=True`` switches the expected input normalization to the
+    caffe-style ``tf_resnet`` method (reference detr.py:147-148; the
+    ImageNet-pretrained TF backbone itself is not downloadable in this
+    egress-free environment — the architecture is identical, weights
+    random unless provided).
+    """
+    if include_top:
+        head = "detr"
+    elif nb_class is not None:
+        head = "finetune"
+    else:
+        head = "none"
+    normalized_method = "tf_resnet" if tf_backbone else "torch_resnet"
+    image_size = getattr(config, "image_size", (376, 672)) if config is not None else (376, 672)
+    return build_detr(
+        head=head,
+        nb_class=nb_class,
+        weights=weights,
+        num_encoder_layers=num_encoder_layers,
+        num_decoder_layers=num_decoder_layers,
+        image_size=image_size,
+        normalized_method=normalized_method,
+        **kwargs,
+    )
