@@ -120,7 +120,7 @@ def load_coco_dataset(
             if len(t_bbox) == 0:
                 return None
             image = processing.normalized_images(image, config)
-            boxes, classes, mask = processing.pad_targets(t_bbox, t_class)
+            boxes, classes, mask = processing.pad_targets(t_bbox, t_class, max_targets=getattr(config, 'num_queries', processing.MAX_TARGETS))
             return {
                 "images": image.astype(np.float32),
                 "boxes": boxes, "classes": classes, "mask": mask,
@@ -133,7 +133,7 @@ def load_coco_dataset(
         scale = np.array(
             [w / padded.shape[1], h / padded.shape[0]] * 2, np.float32
         )
-        boxes, classes, mask = processing.pad_targets(t_bbox * scale, t_class)
+        boxes, classes, mask = processing.pad_targets(t_bbox * scale, t_class, max_targets=getattr(config, 'num_queries', processing.MAX_TARGETS))
         return {
             "images": padded.astype(np.float32),
             "pixel_mask": pixel_mask,

@@ -105,7 +105,7 @@ def load_voc_dataset(
             if len(t_bbox) == 0:
                 return None
         image = processing.normalized_images(image, config)
-        boxes, classes, mask = processing.pad_targets(t_bbox, t_class)
+        boxes, classes, mask = processing.pad_targets(t_bbox, t_class, max_targets=getattr(config, 'num_queries', processing.MAX_TARGETS))
         return {
             "images": image.astype(np.float32),
             "boxes": boxes, "classes": classes, "mask": mask,

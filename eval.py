@@ -1,0 +1,59 @@
+"""Evaluate a (pretrained) DETR model on COCO val2017.
+
+Workflow parity with the reference ``eval.py``: pretrained model with
+its published heads, batch-1 original-size evaluation (augmentation
+None), yxyx boxes, zero masks, ASCII AP table — target box AP 36.53
+(reference README.md:85-89, BASELINE.md).
+
+TPU-native differences: images are bucket-padded to static shapes with a
+pixel mask (bounded compile count instead of per-shape retraces), the
+forward is jitted, and the AP bookkeeping is the vectorized evaluator.
+
+Usage:
+  python eval.py --data_dir /path/coco --img_dir val2017 \
+      --ann_file annotations/instances_val2017.json
+"""
+
+import numpy as np
+
+from detr_tensorflow_tpu import inference
+from detr_tensorflow_tpu.data import load_coco_dataset
+from detr_tensorflow_tpu.metrics import MeanAPEvaluator
+from detr_tensorflow_tpu.models import get_detr_model
+from detr_tensorflow_tpu.ops import boxes as bbox_ops
+from detr_tensorflow_tpu.train import TrainingConfig, training_config_parser
+
+
+def build_model(config):
+    """Pretrained DETR-R50 with its COCO heads (reference eval.py:20-27)."""
+    return get_detr_model(config, include_top=True, weights="detr")
+
+
+def eval_model(model, config, class_names, valid_dt):
+    evaluator = MeanAPEvaluator(num_classes=len(class_names), class_names=class_names)
+    for it, batch in enumerate(valid_dt):
+        m_outputs = model(batch["images"], pixel_mask=batch.get("pixel_mask"))
+        p_bbox, p_labels, p_scores = inference.get_model_inference(
+            m_outputs, config.background_class, bbox_format="yxyx"
+        )
+        n = int(batch["mask"][0].sum())
+        t_yxyx = np.asarray(
+            bbox_ops.np_yxyx_to_xyxy(  # involutive: xyxy->yxyx
+                bbox_ops.np_xcycwh_to_xyxy(batch["boxes"][0][:n])
+            )
+        )
+        evaluator.add_image(
+            p_bbox, p_labels, p_scores, t_yxyx, batch["classes"][0][:n]
+        )
+        print(f"Computing map.....{it}", end="\r")
+    return evaluator.print_table()
+
+
+if __name__ == "__main__":
+    args = training_config_parser().parse_args()
+    config = TrainingConfig().update_from_args(args)
+
+    detr = build_model(config)
+    valid_dt, class_names = load_coco_dataset(config, 1, augmentation=None)
+    config = config.replace(background_class=valid_dt.background_class)
+    eval_model(detr, config, class_names, valid_dt)

@@ -1,0 +1,81 @@
+"""Webcam (or video-file) DETR inference.
+
+Workflow parity with the reference ``webcam_inference.py``: capture ->
+normalize -> one fused jitted forward (backbone + transformer + heads +
+postprocess in a single XLA program, vs. the reference's separate
+``run_inference`` graph + host postprocess) -> draw -> display.
+COCO pretrained classes, background class 91 (reference :56).
+
+Usage:
+  python webcam_inference.py [--source 0|path.mp4] [--image_size 480 720]
+"""
+
+import argparse
+
+import numpy as np
+import jax
+
+from detr_tensorflow_tpu import inference
+from detr_tensorflow_tpu.data import COCO_CLASS_NAME, normalized_images
+from detr_tensorflow_tpu.models import get_detr_model
+from detr_tensorflow_tpu.train import TrainingConfig
+
+
+def make_run_inference(model, background_class: int):
+    """Single fused jitted program: forward + softmax/argmax postprocess."""
+
+    @jax.jit
+    def run(variables, images):
+        outputs = model.module.apply(variables, images)
+        return inference.postprocess(outputs, background_class, "xy_center")
+
+    return lambda images: run(model.variables, images)
+
+
+def run_webcam_inference(model, source=0, image_size=(376, 672), display=True,
+                         frame_callback=None, max_frames=None):
+    import cv2
+
+    config = TrainingConfig(background_class=91)
+    run = make_run_inference(model, config.background_class)
+
+    cap = cv2.VideoCapture(source)
+    n_frames = 0
+    try:
+        while max_frames is None or n_frames < max_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frame = cv2.resize(frame, (image_size[1], image_size[0]))
+            model_input = normalized_images(frame, config)
+            boxes, labels, scores, keep = run(model_input[None])
+            keep0 = np.asarray(keep[0])
+            out = inference.numpy_bbox_to_image(
+                frame,
+                np.asarray(boxes[0])[keep0],
+                np.asarray(labels[0])[keep0],
+                np.asarray(scores[0])[keep0],
+                COCO_CLASS_NAME,
+            )
+            n_frames += 1
+            if frame_callback is not None:
+                frame_callback(out)
+            if display:
+                cv2.imshow("detr-tpu", cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+    finally:
+        cap.release()
+    return n_frames
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--source", default="0")
+    parser.add_argument("--image_size", type=int, nargs=2, default=(376, 672))
+    args = parser.parse_args()
+    source = int(args.source) if args.source.isdigit() else args.source
+
+    detr = get_detr_model(None, include_top=True, weights="detr")
+    run_webcam_inference(detr, source, tuple(args.image_size))
