@@ -17,6 +17,13 @@ if os.environ.get("DETR_TPU_TEST_ON_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the suite is dominated by XLA:CPU
+    # compiles of model graphs; cache them across runs.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
