@@ -29,6 +29,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    try:  # persistent compile cache shaves repeat-run compile time
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from detr_tensorflow_tpu.models import DETR
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())

@@ -1,0 +1,94 @@
+"""Profiling and timing.
+
+The reference's only observability is wall-clock prints every 100 steps
+(detr_tf/training.py:57-63; SURVEY.md §5 'Tracing/profiling: None').
+Here:
+  * ``trace(logdir)`` — context manager around ``jax.profiler`` emitting
+    an xprof/tensorboard-compatible device trace;
+  * ``Timer`` / ``benchmark_fn`` — synchronized wall-clock timing that
+    materializes outputs, robust to async dispatch (including the
+    remote-TPU relay where ``block_until_ready`` alone can be
+    unreliable — see bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str, create_perfetto_link: bool = False):
+    """Capture a device trace viewable in xprof / tensorboard-profile."""
+    jax.profiler.start_trace(logdir, create_perfetto_link=create_perfetto_link)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _materialize(x):
+    """Force execution of a pytree's computation chain."""
+    leaves = jax.tree.leaves(x)
+    if leaves:
+        np.asarray(jax.device_get(leaves[0]).reshape(-1)[:1])
+    return x
+
+
+class Timer:
+    """Accumulating section timer: ``with timer('fwd'): ...``."""
+
+    def __init__(self):
+        self.totals = {}
+        self.counts = {}
+
+    @contextlib.contextmanager
+    def __call__(self, name: str, sync_result=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync_result is not None:
+                _materialize(sync_result)
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> str:
+        lines = []
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(f"{name:>24}: {total:8.3f}s total, {total / n * 1e3:8.2f} ms/call x{n}")
+        return "\n".join(lines)
+
+
+def benchmark_fn(
+    fn: Callable,
+    *args,
+    iters: int = 20,
+    warmup: int = 2,
+    name: Optional[str] = None,
+) -> dict:
+    """Time a jitted callable: returns {'ms_per_iter', 'iters', 'name'}.
+
+    Chains ``iters`` dispatches and materializes only the final output —
+    in-order device execution bounds total time correctly while avoiding
+    a host sync per iteration.
+    """
+    for _ in range(warmup):
+        out = fn(*args)
+    _materialize(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _materialize(out)
+    dt = time.perf_counter() - t0
+    return {
+        "name": name or getattr(fn, "__name__", "fn"),
+        "ms_per_iter": dt / iters * 1e3,
+        "iters": iters,
+    }
