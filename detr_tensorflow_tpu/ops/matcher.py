@@ -31,27 +31,35 @@ Array = jnp.ndarray
 _INF = jnp.float32(1e9)
 
 
-def solve_lap(cost: Array) -> Array:
-    """Solve the square linear assignment problem, minimizing total cost.
+def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
+    """Partial rectangular LAP: assign each *real* row a distinct column,
+    minimizing total cost over real rows.
 
     Direct vectorization of the classic Jonker-Volgenant shortest
     augmenting path formulation (1-indexed rows/columns with a virtual
-    column 0 carrying the row being inserted).
+    column 0 carrying the row being inserted), with masked rows skipped
+    entirely. That skip is the TPU win: DETR images carry ~a handful of
+    real targets in 100 padded slots, so the sequential augmenting work
+    is O(n_real * Dijkstra) instead of O(100 * Dijkstra) — two orders of
+    magnitude fewer device-serialized loop steps than solving the padded
+    square problem.
 
     Args:
-      cost: (N, N) float cost matrix. Must be finite.
+      cost: (R, C) float cost matrix, R <= C, finite everywhere.
+      row_mask: (R,) bool — rows to actually assign.
 
     Returns:
-      col_of_row: (N,) int32 — column assigned to each row; the assignment
-      attains the same optimal total cost as scipy's linear_sum_assignment.
+      col_of_row: (R,) int32 — assigned column per row, -1 for masked
+      rows. Matches scipy's linear_sum_assignment optimum on the
+      row_mask-selected submatrix.
     """
-    n = cost.shape[0]
-    assert cost.shape == (n, n), cost.shape
+    r, c = cost.shape
+    assert r <= c, (r, c)
     cost = cost.astype(jnp.float32)
-    # Pad to 1-indexed: costp[i, j] for i, j in 1..n.
-    costp = jnp.zeros((n + 1, n + 1), jnp.float32).at[1:, 1:].set(cost)
+    # 1-indexed padding: costp[i, j] for i in 1..R, j in 1..C.
+    costp = jnp.zeros((r + 1, c + 1), jnp.float32).at[1:, 1:].set(cost)
 
-    cols = jnp.arange(n + 1)
+    cols = jnp.arange(c + 1)
     is_virtual = cols == 0  # column 0 never a real candidate
 
     def augment_row(i, state):
@@ -59,9 +67,9 @@ def solve_lap(cost: Array) -> Array:
         u, v, p = state  # p[j] = row matched to column j (0 = free)
         p = p.at[0].set(i)
 
-        minv0 = jnp.full((n + 1,), _INF)
-        way0 = jnp.zeros((n + 1,), jnp.int32)
-        used0 = jnp.zeros((n + 1,), bool)
+        minv0 = jnp.full((c + 1,), _INF)
+        way0 = jnp.zeros((c + 1,), jnp.int32)
+        used0 = jnp.zeros((c + 1,), bool)
 
         def search_cond(s):
             _, _, _, _, _, j0 = s
@@ -73,7 +81,7 @@ def solve_lap(cost: Array) -> Array:
             i0 = p[j0]
 
             # Relax all unused real columns from row i0.
-            cur = costp[i0] - u_[i0] - v_  # (n+1,)
+            cur = costp[i0] - u_[i0] - v_  # (c+1,)
             candidate = jnp.logical_and(~used, ~is_virtual)
             better = jnp.logical_and(candidate, cur < minv)
             minv = jnp.where(better, cur, minv)
@@ -87,7 +95,7 @@ def solve_lap(cost: Array) -> Array:
             # Potential update: for used columns, u[p[j]] += delta and
             # v[j] -= delta; for unused, minv[j] -= delta. The rows p[j]
             # over used j are distinct, so a scatter-add is exact.
-            row_idx = jnp.where(used, p, n + 1)  # out-of-bounds -> dropped
+            row_idx = jnp.where(used, p, r + 1)  # out-of-bounds -> dropped
             u_ = u_.at[row_idx].add(delta, mode="drop")
             v_ = jnp.where(used, v_ - delta, v_)
             minv = jnp.where(used, minv, minv - delta)
@@ -112,16 +120,43 @@ def solve_lap(cost: Array) -> Array:
         _, p = lax.while_loop(aug_cond, aug_body, (j0, p))
         return u, v, p
 
-    u0 = jnp.zeros((n + 1,), jnp.float32)
-    v0 = jnp.zeros((n + 1,), jnp.float32)
-    p0 = jnp.zeros((n + 1,), jnp.int32)
-    _, _, p = lax.fori_loop(1, n + 1, augment_row, (u0, v0, p0))
+    # Row insertion loop. row_mask is prefix-form (True rows first — the
+    # fixed-slot target padding guarantees it, data/processing.py), so a
+    # while_loop stops at the first masked row: the number of
+    # device-sequential outer steps is the number of *real* objects, and
+    # under vmap it is the max across the batch — not the 100 slots.
+    # (A fori+cond formulation would evaluate the skipped branch for
+    # every padded row under vmap.)
+    def outer_cond(s):
+        i, _, _, _ = s
+        return jnp.logical_and(i <= r, row_mask[jnp.minimum(i, r) - 1])
+
+    def outer_body(s):
+        i, u, v, p = s
+        u, v, p = augment_row(i, (u, v, p))
+        return i + 1, u, v, p
+
+    u0 = jnp.zeros((r + 1,), jnp.float32)
+    v0 = jnp.zeros((c + 1,), jnp.float32)
+    p0 = jnp.zeros((c + 1,), jnp.int32)
+    _, _, _, p = lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(1), u0, v0, p0)
+    )
 
     # p[j] = row (1-indexed) matched to column j; invert to col_of_row.
-    col_of_row = jnp.zeros((n,), jnp.int32).at[p[1:] - 1].set(
-        jnp.arange(n, dtype=jnp.int32)
+    col_of_row = jnp.full((r,), -1, jnp.int32)
+    scatter_rows = jnp.where(p[1:] > 0, p[1:] - 1, r)  # r -> dropped
+    col_of_row = col_of_row.at[scatter_rows].set(
+        jnp.arange(c, dtype=jnp.int32), mode="drop"
     )
     return col_of_row
+
+
+def solve_lap(cost: Array) -> Array:
+    """Square LAP: column assigned to every row (see solve_lap_masked)."""
+    n = cost.shape[0]
+    assert cost.shape == (n, n), cost.shape
+    return solve_lap_masked(cost, jnp.ones((n,), bool))
 
 
 def cost_matrix(
@@ -187,26 +222,23 @@ def hungarian_match(
     assert t <= q, (t, q)
 
     cost = cost_matrix(p_bbox, p_logits, t_bbox, t_class, t_mask)  # (Q, T)
-    # Square it up: extra zero-cost columns so every query has a slot.
-    cost_sq = jnp.zeros((q, q), jnp.float32).at[:, :t].set(cost)
-    col_of_row = solve_lap(cost_sq)  # (Q,)
+    # Solve the rectangular problem with targets as rows: only the ~few
+    # real targets are augmented (padded slots skipped entirely) — the
+    # sequential work scales with the number of objects, not the 100
+    # query slots.
+    pred_of_target = solve_lap_masked(cost.T, t_mask)  # (T,), -1 where padded
 
-    valid_col = jnp.logical_and(
-        col_of_row < t,
-        t_mask[jnp.clip(col_of_row, 0, t - 1)],
+    # Invert: target slot matched to each query.
+    scatter_idx = jnp.where(pred_of_target >= 0, pred_of_target, q)
+    target_of_pred = jnp.full((q,), -1, jnp.int32).at[scatter_idx].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop"
     )
-    target_of_pred = jnp.where(valid_col, col_of_row, -1)
-
-    # Invert: query matched to each real target slot.
-    scatter_idx = jnp.where(valid_col, col_of_row, t)  # t -> dropped
-    pred_of_target = jnp.full((t,), -1, jnp.int32).at[scatter_idx].set(
-        jnp.arange(q, dtype=jnp.int32), mode="drop"
-    )
+    pred_matched = target_of_pred >= 0
 
     return {
-        "target_of_pred": target_of_pred.astype(jnp.int32),
+        "target_of_pred": target_of_pred,
         "pred_of_target": pred_of_target,
-        "pred_matched": valid_col,
+        "pred_matched": pred_matched,
     }
 
 

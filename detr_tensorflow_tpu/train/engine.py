@@ -45,8 +45,11 @@ def create_train_state(
     """Initialize optimizer state from model variables."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    params = variables["params"]
-    frozen = variables.get("frozen", {})
+    # Copy: the jitted train step donates the state, which would
+    # invalidate the caller's `variables` buffers on TPU otherwise.
+    copy = lambda tree: jax.tree.map(lambda x: jnp.array(x, copy=True), tree)  # noqa: E731
+    params = copy(variables["params"])
+    frozen = copy(variables.get("frozen", {}))
     tx = opt_lib.make_optimizer(config, params)
     opt_state = tx.init(params)
     state = TrainState(
