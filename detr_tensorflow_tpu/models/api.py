@@ -150,6 +150,9 @@ def get_detr_model(
         head = "none"
     normalized_method = "tf_resnet" if tf_backbone else "torch_resnet"
     image_size = getattr(config, "image_size", (376, 672)) if config is not None else (376, 672)
+    kwargs.setdefault("dtype", getattr(config, "compute_dtype", "float32"))
+    kwargs.setdefault("attn_impl", getattr(config, "attn_impl", "xla"))
+    kwargs.setdefault("num_queries", getattr(config, "num_queries", 100))
     return build_detr(
         head=head,
         nb_class=nb_class,

@@ -79,6 +79,121 @@ def test_forward_parity_full_stack(torch_detr):
     )
 
 
+def test_forward_parity_with_pixel_mask(torch_detr):
+    """Padded images + pixel mask (the bucket-eval path) must match torch
+    DETR fed the same mask — validates masked positions + attention."""
+    rng = np.random.default_rng(7)
+    img = rng.normal(size=(1, 96, 128, 3)).astype(np.float32)
+    # Pad 96x128 -> 128x160 with zeros; valid region marked in the mask.
+    padded = np.zeros((1, 128, 160, 3), np.float32)
+    padded[:, :96, :128] = img
+    mask = np.zeros((1, 128, 160), bool)
+    mask[:, :96, :128] = True
+
+    with torch.no_grad():
+        t_out = torch_detr(
+            pixel_values=torch.from_numpy(padded.transpose(0, 3, 1, 2)),
+            pixel_mask=torch.from_numpy(mask.astype(np.int64)),
+        )
+
+    variables = convert_torch_detr(
+        torch_detr.state_dict(), scheme="hf",
+        num_encoder_layers=2, num_decoder_layers=2,
+    )
+    model = DETR(
+        num_classes=92, num_encoder_layers=2, num_decoder_layers=2, dropout=0.0
+    )
+    out = model.apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(padded),
+        pixel_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]), t_out.pred_boxes.numpy(), atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), t_out.logits.numpy(), atol=3e-3, rtol=1e-3
+    )
+
+
+def test_facebook_scheme_conversion(torch_detr):
+    """Rename the hf state_dict into facebookresearch naming (packing
+    q/k/v into in_proj) and check the facebook converter path produces
+    the identical pytree."""
+    sd = torch_detr.state_dict()
+    fb = {}
+    bb = "model.backbone.conv_encoder.model"
+    for k, v in sd.items():
+        if k.startswith(f"{bb}.embedder.embedder.convolution"):
+            fb["backbone.0.body.conv1.weight"] = v
+        elif k.startswith(f"{bb}.embedder.embedder.normalization"):
+            fb[k.replace(f"{bb}.embedder.embedder.normalization", "backbone.0.body.bn1")] = v
+        elif k.startswith(f"{bb}.encoder.stages."):
+            rest = k[len(f"{bb}.encoder.stages."):]
+            s, rest = rest.split(".", 1)
+            assert rest.startswith("layers.")
+            b, rest = rest[len("layers."):].split(".", 1)
+            prefix = f"backbone.0.body.layer{int(s) + 1}.{b}"
+            if rest.startswith("layer."):
+                j, rest2 = rest[len("layer."):].split(".", 1)
+                name = "conv" if rest2.startswith("convolution") else "bn"
+                suffix = rest2.split(".", 1)[1]
+                fb[f"{prefix}.{name}{int(j) + 1}.{suffix}"] = v
+            else:  # shortcut
+                assert rest.startswith("shortcut.")
+                rest2 = rest[len("shortcut."):]
+                idx = "0" if rest2.startswith("convolution") else "1"
+                suffix = rest2.split(".", 1)[1]
+                fb[f"{prefix}.downsample.{idx}.{suffix}"] = v
+    # transformer: pack q/k/v
+    for side, fb_side in (("encoder", "encoder"), ("decoder", "decoder")):
+        for i in range(2):
+            hp = f"model.{side}.layers.{i}"
+            fp = f"transformer.{side}.layers.{i}"
+            attns = [("self_attn", "self_attn")]
+            if side == "decoder":
+                attns.append(("encoder_attn", "multihead_attn"))
+            for h_attn, f_attn in attns:
+                fb[f"{fp}.{f_attn}.in_proj_weight"] = torch.cat(
+                    [sd[f"{hp}.{h_attn}.{p}_proj.weight"] for p in "qkv"], dim=0
+                )
+                fb[f"{fp}.{f_attn}.in_proj_bias"] = torch.cat(
+                    [sd[f"{hp}.{h_attn}.{p}_proj.bias"] for p in "qkv"], dim=0
+                )
+                fb[f"{fp}.{f_attn}.out_proj.weight"] = sd[f"{hp}.{h_attn}.out_proj.weight"]
+                fb[f"{fp}.{f_attn}.out_proj.bias"] = sd[f"{hp}.{h_attn}.out_proj.bias"]
+            for h_name, f_name in (
+                ("fc1", "linear1"), ("fc2", "linear2"),
+                ("self_attn_layer_norm", "norm1"),
+            ):
+                for suf in ("weight", "bias"):
+                    fb[f"{fp}.{f_name}.{suf}"] = sd[f"{hp}.{h_name}.{suf}"]
+            if side == "encoder":
+                for suf in ("weight", "bias"):
+                    fb[f"{fp}.norm2.{suf}"] = sd[f"{hp}.final_layer_norm.{suf}"]
+            else:
+                for suf in ("weight", "bias"):
+                    fb[f"{fp}.norm2.{suf}"] = sd[f"{hp}.encoder_attn_layer_norm.{suf}"]
+                    fb[f"{fp}.norm3.{suf}"] = sd[f"{hp}.final_layer_norm.{suf}"]
+    for suf in ("weight", "bias"):
+        fb[f"transformer.decoder.norm.{suf}"] = sd[f"model.decoder.layernorm.{suf}"]
+        fb[f"input_proj.{suf}"] = sd[f"model.input_projection.{suf}"]
+        fb[f"class_embed.{suf}"] = sd[f"class_labels_classifier.{suf}"]
+        for j in range(3):
+            fb[f"bbox_embed.layers.{j}.{suf}"] = sd[f"bbox_predictor.layers.{j}.{suf}"]
+    fb["query_embed.weight"] = sd["model.query_position_embeddings.weight"]
+
+    from_fb = convert_torch_detr(fb, scheme="auto", num_encoder_layers=2,
+                                 num_decoder_layers=2)
+    from_hf = convert_torch_detr(sd, scheme="hf", num_encoder_layers=2,
+                                 num_decoder_layers=2)
+    a = jax.tree.leaves(from_fb)
+    b = jax.tree.leaves(from_hf)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_converter_tree_structure(torch_detr):
     variables = convert_torch_detr(
         torch_detr.state_dict(), scheme="auto",
