@@ -125,11 +125,24 @@ def load_coco_dataset(
                 "images": image.astype(np.float32),
                 "boxes": boxes, "classes": classes, "mask": mask,
             }
-        # Original-size eval: bucket-pad + pixel mask.
-        image = processing.normalized_images(image, config)
-        padded, pixel_mask, (h, w) = processing.pad_image_to_bucket(
-            image, bucket_divisor
-        )
+        # Original-size eval: bucket-pad + pixel mask. Fused native
+        # normalize+placement when available (one pass, no temporaries).
+        h, w = image.shape[:2]
+        ph = ((h + bucket_divisor - 1) // bucket_divisor) * bucket_divisor
+        pw = ((w + bucket_divisor - 1) // bucket_divisor) * bucket_divisor
+        padded = None
+        if (
+            getattr(config, "normalized_method", "torch_resnet") == "torch_resnet"
+            and image.dtype == np.uint8
+        ):
+            from . import native
+
+            padded = native.normalize_torch_into_bucket(image, ph, pw)
+        if padded is None:
+            image = processing.normalized_images(image, config)
+            padded, _, _ = processing.pad_image_to_bucket(image, bucket_divisor)
+        pixel_mask = np.zeros((ph, pw), bool)
+        pixel_mask[:h, :w] = True
         scale = np.array(
             [w / padded.shape[1], h / padded.shape[0]] * 2, np.float32
         )

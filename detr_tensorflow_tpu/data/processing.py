@@ -36,6 +36,20 @@ def normalized_images(image: np.ndarray, config) -> np.ndarray:
     tf-style pretrained backbones). Mirrors processing.py:6-23.
     """
     method = getattr(config, "normalized_method", "torch_resnet")
+    if image.dtype == np.uint8 and image.ndim == 3 and image.shape[-1] == 3:
+        # Fused single-pass C++ kernel (native/image_ops.cpp) — numpy
+        # chains three whole-array temporaries for the same math.
+        from . import native
+
+        fast = (
+            native.normalize_torch(image)
+            if method == "torch_resnet"
+            else native.normalize_caffe(image)
+            if method == "tf_resnet"
+            else None
+        )
+        if fast is not None:
+            return fast
     if method == "torch_resnet":
         out = (image.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     elif method == "tf_resnet":

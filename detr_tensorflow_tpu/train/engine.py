@@ -194,13 +194,25 @@ class Trainer:
 
 
 def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None,
-        log_fn=None, log_every: int = 100):
+        log_fn=None, log_every: int = 100, checkpoint_every: Optional[int] = None):
     """One epoch over ``train_dataset`` (an iterable of native batches) —
-    console cadence mirrors reference training.py:35-65."""
+    console cadence mirrors reference training.py:35-65. With
+    ``checkpoint_every`` (and ``config.checkpoint_dir``) the full train
+    state is snapshotted periodically so a crashed run resumes via
+    ``restore_latest`` — failure tolerance the reference lacks
+    (SURVEY.md §5: crashes are fatal there)."""
     del class_names
     t0 = time.time()
     for epoch_step, batch in enumerate(train_dataset):
         log = trainer.step(batch)
+        if (
+            checkpoint_every
+            and config.checkpoint_dir
+            and (epoch_step + 1) % checkpoint_every == 0
+        ):
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(trainer.state, config.checkpoint_dir)
         if log_fn is not None:
             log_fn({k: float(v) for k, v in log.items()}, int(trainer.state.step))
         if epoch_step % log_every == 0:
