@@ -39,7 +39,7 @@ def main():
 
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     if on_tpu:
-        batch, height, width, iters, dtype = 16, 800, 1344, 10, "bfloat16"
+        batch, height, width, iters, dtype = 32, 800, 1344, 10, "bfloat16"
     else:
         # CPU smoke config so the bench stays runnable anywhere.
         batch, height, width, iters, dtype = 1, 256, 384, 2, "float32"
@@ -83,7 +83,7 @@ def main():
 
     images_per_sec = batch * iters / dt
     result = {
-        "metric": "DETR-R50 inference images/sec/chip @ 1333x800 (bf16)",
+        "metric": "DETR-R50 inference images/sec/chip @ 1333x800 (bf16, batch 32)",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
