@@ -144,3 +144,21 @@ def test_detr_dropout_rng_training(rng):
     out1 = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     out2 = model.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
     assert np.abs(np.asarray(out1["pred_logits"]) - np.asarray(out2["pred_logits"])).max() > 1e-6
+
+
+def test_stem_space_to_depth_equivalence(rng):
+    from detr_tensorflow_tpu.models.resnet import StemConv
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    stem = StemConv(use_s2d=True)
+    params = stem.init(jax.random.PRNGKey(0), x)
+    fast = stem.apply(params, x)
+    direct = StemConv(use_s2d=False).apply(params, x)
+    assert fast.shape == direct.shape == (2, 32, 48, 64)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(direct), atol=2e-5)
+
+    # odd sizes fall back to the direct path
+    x_odd = jnp.asarray(rng.normal(size=(1, 63, 95, 3)).astype(np.float32))
+    out = stem.apply(params, x_odd)
+    ref = StemConv(use_s2d=False).apply(params, x_odd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
