@@ -92,4 +92,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient remote-TPU aborts: one retry
+        print(f"bench: first attempt failed ({type(e).__name__}: {e}); "
+              "retrying once", file=sys.stderr)
+        main()
