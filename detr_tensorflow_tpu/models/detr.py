@@ -58,6 +58,7 @@ class DETR(nn.Module):
     nb_class: Optional[int] = None  # for head == "finetune"
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize transformer layers (memory saver)
 
     @nn.compact
     def __call__(self, images, pixel_mask=None, train=False):
@@ -116,6 +117,7 @@ class DETR(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="transformer",
         )(src, pos, query_embed, key_padding_mask=key_padding_mask, train=train)
 

@@ -187,18 +187,26 @@ class Transformer(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize layer activations (trade FLOPs
+    # for HBM when training with very large batches/resolutions)
 
     @nn.compact
     def __call__(self, src, pos, query_embed, key_padding_mask=None, train=False):
         b = src.shape[0]
 
+        enc_cls = EncoderLayer
+        dec_cls = DecoderLayer
+        if self.remat:
+            enc_cls = nn.remat(EncoderLayer, static_argnums=(4,))
+            dec_cls = nn.remat(DecoderLayer, static_argnums=(6,))
+
         memory = src
         for i in range(self.num_encoder_layers):
-            memory = EncoderLayer(
+            memory = enc_cls(
                 self.model_dim, self.num_heads, self.dim_feedforward,
                 self.dropout, self.dtype, self.attn_impl,
                 name=f"encoder_layer_{i}",
-            )(memory, pos, key_padding_mask=key_padding_mask, train=train)
+            )(memory, pos, key_padding_mask, train)
 
         query_pos = jnp.broadcast_to(
             query_embed[None], (b,) + query_embed.shape
@@ -208,14 +216,11 @@ class Transformer(nn.Module):
         final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         intermediate = []
         for i in range(self.num_decoder_layers):
-            tgt = DecoderLayer(
+            tgt = dec_cls(
                 self.model_dim, self.num_heads, self.dim_feedforward,
                 self.dropout, self.dtype, self.attn_impl,
                 name=f"decoder_layer_{i}",
-            )(
-                tgt, memory, pos, query_pos,
-                memory_key_padding_mask=key_padding_mask, train=train,
-            )
+            )(tgt, memory, pos, query_pos, key_padding_mask, train)
             intermediate.append(final_norm(tgt))
 
         hs = jnp.stack(intermediate, axis=0)  # (L, B, Q, D)

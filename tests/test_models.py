@@ -162,3 +162,22 @@ def test_stem_space_to_depth_equivalence(rng):
     out = stem.apply(params, x_odd)
     ref = StemConv(use_s2d=False).apply(params, x_odd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_remat_matches_baseline(rng):
+    model = _tiny_detr()
+    model_r = _tiny_detr(remat=True)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    out_r = model_r.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_r["pred_logits"]), np.asarray(out["pred_logits"]), atol=1e-5
+    )
+    # gradients flow through the rematerialized layers identically
+    def loss(m, v):
+        return m.apply(v, x)["pred_boxes"].sum()
+    g = jax.grad(lambda v: loss(model, v))(variables)["params"]
+    g_r = jax.grad(lambda v: loss(model_r, v))(variables)["params"]
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
