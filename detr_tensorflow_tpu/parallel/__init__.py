@@ -10,3 +10,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from .tp import detr_param_shardings, shard_params  # noqa: F401

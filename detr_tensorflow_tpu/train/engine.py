@@ -30,6 +30,10 @@ from . import optimizers as opt_lib
 Array = jnp.ndarray
 
 
+def _has_model_axis(mesh) -> bool:
+    return "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -108,6 +112,11 @@ def make_train_step(
         )
         return new_state, log
 
+    if mesh is not None and _has_model_axis(mesh):
+        # Tensor-parallel (+ optional data-parallel): the state arrives
+        # with committed shardings (parallel/tp.py); GSPMD propagates
+        # them and inserts the TP all-reduces. No explicit in_shardings.
+        return jax.jit(step_fn, donate_argnums=(0,))
     if mesh is not None:
         repl = mesh_lib.replicated_sharding(mesh)
         data = mesh_lib.batch_sharding(mesh)
@@ -137,6 +146,8 @@ def make_eval_step(model, config, mesh=None) -> Callable:
         log["total_loss"] = total
         return out, log
 
+    if mesh is not None and _has_model_axis(mesh):
+        return jax.jit(step_fn)
     if mesh is not None:
         repl = mesh_lib.replicated_sharding(mesh)
         data = mesh_lib.batch_sharding(mesh)
@@ -152,11 +163,30 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.state, self.tx = create_train_state(model, variables, config, rng)
-        if mesh is not None:
+        if mesh is not None and _has_model_axis(mesh):
+            self.state = self._shard_state_tp(self.state, mesh)
+        elif mesh is not None:
             self.state = mesh_lib.replicate(self.state, mesh)
         self.train_step = make_train_step(model, self.tx, config, mesh)
         self.eval_step = make_eval_step(model, config, mesh)
         self._lrs = opt_lib.lr_dict(config)
+
+    def _shard_state_tp(self, state: TrainState, mesh) -> TrainState:
+        """Commit tensor-parallel shardings: params per parallel/tp.py,
+        optimizer state re-initialized under jit so its moments inherit
+        the parameter shardings via GSPMD propagation."""
+        from ..parallel import tp
+
+        params = tp.shard_params(jax.device_get(state.params), mesh)
+        frozen = mesh_lib.replicate(state.frozen, mesh)
+        opt_state = jax.jit(self.tx.init)(params)
+        return state.replace(
+            params=params,
+            frozen=frozen,
+            opt_state=opt_state,
+            step=mesh_lib.replicate(state.step, mesh),
+            dropout_rng=mesh_lib.replicate(state.dropout_rng, mesh),
+        )
 
     def set_learning_rates(self, **kw):
         """Adjust LRs mid-run without retracing (e.g. staged unfreeze)."""
@@ -168,12 +198,17 @@ class Trainer:
         """Flip train_{backbone,transformers,nlayers}; rebuilds the
         optimizer (one retrace), preserving params and step."""
         self.config = self.config.replace(**kw)
-        tx = opt_lib.make_optimizer(self.config, jax.tree.map(lambda x: x, self.state.params))
-        opt_state = tx.init(self.state.params)
+        tx = opt_lib.make_optimizer(self.config, self.state.params)
         self.tx = tx
-        self.state = self.state.replace(opt_state=opt_state)
-        if self.mesh is not None:
-            self.state = mesh_lib.replicate(self.state, self.mesh)
+        if self.mesh is not None and _has_model_axis(self.mesh):
+            # params keep their committed TP shardings; moments inherit.
+            opt_state = jax.jit(tx.init)(self.state.params)
+            self.state = self.state.replace(opt_state=opt_state)
+        else:
+            opt_state = tx.init(self.state.params)
+            self.state = self.state.replace(opt_state=opt_state)
+            if self.mesh is not None:
+                self.state = mesh_lib.replicate(self.state, self.mesh)
         self.train_step = make_train_step(self.model, tx, self.config, self.mesh)
         self._lrs = opt_lib.lr_dict(self.config)
 
