@@ -215,3 +215,74 @@ def test_converter_tree_structure(torch_detr):
     ref_shapes = jax.tree.map(lambda x: x.shape, ref)
     got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, variables)
     assert ref_shapes == got_shapes
+
+
+def test_resnet101_converter_shapes():
+    """DETR-R101: converted facebook-named tree matches a fresh init."""
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return torch.from_numpy(rng.normal(size=shape).astype(np.float32))
+
+    sd = {}
+    sd["backbone.0.body.conv1.weight"] = t(64, 3, 7, 7)
+    for suf, shape in (("weight", (64,)), ("bias", (64,)),
+                       ("running_mean", (64,)), ("running_var", (64,))):
+        sd[f"backbone.0.body.bn1.{suf}"] = t(*shape)
+    dims = [(64, 256), (128, 512), (256, 1024), (512, 2048)]
+    for s, n_blocks in enumerate((3, 4, 23, 3)):
+        d1, d2 = dims[s]
+        in_ch = 64 if s == 0 else dims[s - 1][1]
+        for b in range(n_blocks):
+            p = f"backbone.0.body.layer{s + 1}.{b}"
+            cin = in_ch if b == 0 else d2
+            sd[f"{p}.conv1.weight"] = t(d1, cin, 1, 1)
+            sd[f"{p}.conv2.weight"] = t(d1, d1, 3, 3)
+            sd[f"{p}.conv3.weight"] = t(d2, d1, 1, 1)
+            for j, ch in ((1, d1), (2, d1), (3, d2)):
+                for suf in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{p}.bn{j}.{suf}"] = t(ch)
+            if b == 0:
+                sd[f"{p}.downsample.0.weight"] = t(d2, cin, 1, 1)
+                for suf in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{p}.downsample.1.{suf}"] = t(d2)
+    for side, n in (("encoder", 1), ("decoder", 1)):
+        for i in range(n):
+            p = f"transformer.{side}.layers.{i}"
+            attns = ["self_attn"] + (["multihead_attn"] if side == "decoder" else [])
+            for a in attns:
+                sd[f"{p}.{a}.in_proj_weight"] = t(768, 256)
+                sd[f"{p}.{a}.in_proj_bias"] = t(768)
+                sd[f"{p}.{a}.out_proj.weight"] = t(256, 256)
+                sd[f"{p}.{a}.out_proj.bias"] = t(256)
+            sd[f"{p}.linear1.weight"] = t(2048, 256)
+            sd[f"{p}.linear1.bias"] = t(2048)
+            sd[f"{p}.linear2.weight"] = t(256, 2048)
+            sd[f"{p}.linear2.bias"] = t(256)
+            norms = ["norm1", "norm2"] + (["norm3"] if side == "decoder" else [])
+            for nm in norms:
+                sd[f"{p}.{nm}.weight"] = t(256)
+                sd[f"{p}.{nm}.bias"] = t(256)
+    sd["transformer.decoder.norm.weight"] = t(256)
+    sd["transformer.decoder.norm.bias"] = t(256)
+    sd["input_proj.weight"] = t(256, 2048, 1, 1)
+    sd["input_proj.bias"] = t(256)
+    sd["query_embed.weight"] = t(100, 256)
+    sd["class_embed.weight"] = t(92, 256)
+    sd["class_embed.bias"] = t(92)
+    for j, (i_dim, o_dim) in enumerate(((256, 256), (256, 256), (256, 4))):
+        sd[f"bbox_embed.layers.{j}.weight"] = t(o_dim, i_dim)
+        sd[f"bbox_embed.layers.{j}.bias"] = t(o_dim)
+
+    converted = convert_torch_detr(
+        sd, scheme="facebook", backbone_depth=101,
+        num_encoder_layers=1, num_decoder_layers=1,
+    )
+    model = DETR(num_classes=92, backbone_depth=101,
+                 num_encoder_layers=1, num_decoder_layers=1)
+    ref = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    ref_shapes = jax.tree.map(lambda x: tuple(x.shape), ref)
+    got_shapes = jax.tree.map(lambda x: tuple(np.asarray(x).shape), converted)
+    assert ref_shapes == got_shapes
