@@ -30,12 +30,35 @@ def build_model(config):
 
 
 def eval_model(model, config, class_names, valid_dt):
+    import jax
+
+    background = int(config.background_class)
+
+    # One fused XLA program per bucket shape: forward + postprocess.
+    @jax.jit
+    def run(variables, images, pixel_mask):
+        outputs = model.module.apply(variables, images, pixel_mask=pixel_mask)
+        return inference.postprocess(outputs, background, "yxyx")
+
+    @jax.jit
+    def run_nomask(variables, images):
+        outputs = model.module.apply(variables, images)
+        return inference.postprocess(outputs, background, "yxyx")
+
     evaluator = MeanAPEvaluator(num_classes=len(class_names), class_names=class_names)
     for it, batch in enumerate(valid_dt):
-        m_outputs = model(batch["images"], pixel_mask=batch.get("pixel_mask"))
-        p_bbox, p_labels, p_scores = inference.get_model_inference(
-            m_outputs, config.background_class, bbox_format="yxyx"
-        )
+        if "pixel_mask" in batch:
+            boxes_, labels_, scores_, keep_ = run(
+                model.variables, batch["images"], batch["pixel_mask"]
+            )
+        else:
+            boxes_, labels_, scores_, keep_ = run_nomask(
+                model.variables, batch["images"]
+            )
+        keep0 = np.asarray(keep_[0])
+        p_bbox = np.asarray(boxes_[0])[keep0]
+        p_labels = np.asarray(labels_[0])[keep0]
+        p_scores = np.asarray(scores_[0])[keep0]
         n = int(batch["mask"][0].sum())
         t_yxyx = np.asarray(
             bbox_ops.np_yxyx_to_xyxy(  # involutive: xyxy->yxyx
