@@ -79,11 +79,30 @@ class HostDataset:
 
         def producer():
             try:
+                # Sliding submission window: ThreadPoolExecutor.map has no
+                # backpressure (it enqueues the whole epoch and decoded
+                # examples pile up faster than the consumer drains them on
+                # large datasets). Keep at most window_size loads in
+                # flight; results are consumed in order.
+                import collections
+
+                window_size = max(2 * self.num_workers, self.batch_size)
+                epoch = iter(self._epoch_indices())
                 with ThreadPoolExecutor(self.num_workers) as pool:
+                    in_flight = collections.deque()
+                    for _ in range(window_size):
+                        idx = next(epoch, None)
+                        if idx is None:
+                            break
+                        in_flight.append(pool.submit(self.load_fn, idx))
                     pending: List = []
-                    for ex in pool.map(self.load_fn, self._epoch_indices()):
+                    while in_flight:
                         if stop.is_set():
                             return
+                        ex = in_flight.popleft().result()
+                        idx = next(epoch, None)
+                        if idx is not None:
+                            in_flight.append(pool.submit(self.load_fn, idx))
                         if ex is None:
                             continue
                         pending.append(ex)
