@@ -16,20 +16,29 @@ import numpy as np
 import jax
 
 from detr_tensorflow_tpu import inference
-from detr_tensorflow_tpu.data import COCO_CLASS_NAME, normalized_images
+from detr_tensorflow_tpu.data import COCO_CLASS_NAME
 from detr_tensorflow_tpu.models import get_detr_model
 from detr_tensorflow_tpu.train import TrainingConfig
 
 
 def make_run_inference(model, background_class: int):
-    """Single fused jitted program: forward + softmax/argmax postprocess."""
+    """Single fused jitted program: normalization + forward + postprocess.
+
+    Takes raw uint8 RGB frames — the ImageNet normalization runs on the
+    device inside the same XLA program as the model (the reference
+    normalizes on the host and runs a separate postprocess,
+    webcam_inference.py:11-15 / inference.py:68)."""
+    import jax.numpy as jnp
+
+    from detr_tensorflow_tpu.data.processing import IMAGENET_MEAN, IMAGENET_STD
 
     @jax.jit
-    def run(variables, images):
+    def run(variables, frames_u8):
+        images = (frames_u8.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         outputs = model.module.apply(variables, images)
         return inference.postprocess(outputs, background_class, "xy_center")
 
-    return lambda images: run(model.variables, images)
+    return lambda frames_u8: run(model.variables, frames_u8)
 
 
 def run_webcam_inference(model, source=0, image_size=(376, 672), display=True,
@@ -48,8 +57,7 @@ def run_webcam_inference(model, source=0, image_size=(376, 672), display=True,
                 break
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             frame = cv2.resize(frame, (image_size[1], image_size[0]))
-            model_input = normalized_images(frame, config)
-            boxes, labels, scores, keep = run(model_input[None])
+            boxes, labels, scores, keep = run(frame[None])
             keep0 = np.asarray(keep[0])
             out = inference.numpy_bbox_to_image(
                 frame,
