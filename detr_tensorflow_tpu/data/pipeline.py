@@ -77,6 +77,17 @@ class HostDataset:
         out_q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = threading.Event()
 
+        def safe_put(item) -> bool:
+            """Put without deadlocking if the consumer abandoned the
+            iterator (e.g. an eval loop breaking early)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 # Sliding submission window: ThreadPoolExecutor.map has no
@@ -107,11 +118,15 @@ class HostDataset:
                             continue
                         pending.append(ex)
                         if len(pending) == self.batch_size:
-                            out_q.put(self.collate_fn(pending))
+                            if not safe_put(self.collate_fn(pending)):
+                                return
                             pending = []
                     # drop remainder (static batch shape)
             finally:
-                out_q.put(None)
+                try:
+                    out_q.put(None, timeout=1.0)
+                except queue.Full:
+                    pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

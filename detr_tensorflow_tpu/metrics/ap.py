@@ -147,10 +147,9 @@ class MeanAPEvaluator:
             pred_candidates = [i for i in order if p_labels[i] == _class]
             for iou_idx, thr in enumerate(self.iou_thresholds):
                 for kind, iou in (("box", box_iou), ("mask", mask_iou)):
-                    if kind == "mask" and not have_masks:
-                        # keep reference behavior: zero-mask IoUs -> all
-                        # detections are false positives, mask AP 0.
-                        pass
+                    # without masks, mask IoUs are all zero -> every mask
+                    # detection is a false positive and mask AP is 0,
+                    # matching the reference's zero-mask placeholders.
                     acc = self.data[kind][iou_idx][_class]
                     acc.add_gt_positives(n_gt_class)
                     used = set()
