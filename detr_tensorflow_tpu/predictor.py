@@ -1,0 +1,145 @@
+"""Production serving path: raw images in, detections out.
+
+Wraps the whole pipeline in per-bucket jitted XLA programs:
+device-side normalization -> backbone -> transformer -> heads ->
+postprocess. Arbitrary image sizes are zero-padded up to shape buckets
+with a pixel mask, so the number of compiled programs stays bounded
+while results are mathematically exact for the valid region (validated
+against torch in tests/test_golden_torch.py::test_forward_parity_with_pixel_mask).
+
+This is the TPU-native generalization of the reference's webcam loop
+(webcam_inference.py:11-42) and eager eval loop (eval.py:41-58), which
+re-trace per image shape and postprocess on the host.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import inference
+from .data.processing import IMAGENET_MEAN, IMAGENET_STD, CAFFE_MEAN
+
+
+class Detection:
+    """One image's detections (ragged, host-side)."""
+
+    __slots__ = ("boxes", "labels", "scores")
+
+    def __init__(self, boxes, labels, scores):
+        self.boxes = boxes  # (n, 4) xcycwh normalized to the valid region
+        self.labels = labels  # (n,)
+        self.scores = scores  # (n,)
+
+
+class Predictor:
+    """Batched, bucketed DETR inference.
+
+    Args:
+      model: a DetrModel bundle (models/api.py).
+      background_class: class id to suppress.
+      bucket_divisor: pad H/W up to multiples of this (compile-count vs
+        padding-waste tradeoff).
+      score_threshold: optional confidence filter.
+    """
+
+    def __init__(
+        self,
+        model,
+        background_class: int,
+        bucket_divisor: int = 128,
+        score_threshold: float = 0.0,
+        bbox_format: str = "xy_center",
+    ):
+        self.model = model
+        self.background_class = int(background_class)
+        self.bucket_divisor = int(bucket_divisor)
+        self.score_threshold = float(score_threshold)
+        self.bbox_format = bbox_format
+        self._compiled = {}
+
+    def _get_program(self, shape: Tuple[int, int], masked: bool):
+        key = (shape, masked)
+        if key in self._compiled:
+            return self._compiled[key]
+        module = self.model.module
+        background = self.background_class
+        fmt = self.bbox_format
+        method = getattr(self.model, "normalized_method", "torch_resnet")
+
+        def normalize(frames):
+            x = frames.astype(jnp.float32)
+            if method == "torch_resnet":
+                return (x / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
+                    IMAGENET_STD
+                )
+            return x[..., ::-1] - jnp.asarray(CAFFE_MEAN)
+
+        if masked:
+            @jax.jit
+            def program(variables, frames, pixel_mask):
+                outputs = module.apply(
+                    variables, normalize(frames), pixel_mask=pixel_mask
+                )
+                return inference.postprocess(outputs, background, fmt)
+        else:
+            @jax.jit
+            def program(variables, frames):
+                outputs = module.apply(variables, normalize(frames))
+                return inference.postprocess(outputs, background, fmt)
+        self._compiled[key] = program
+        return program
+
+    def __call__(self, images: List[np.ndarray]) -> List[Detection]:
+        """Run detection on a list of uint8 RGB images (any sizes).
+
+        Images of the same bucket shape are batched into one device call.
+        Returned boxes are normalized to each image's own frame.
+        """
+        d = self.bucket_divisor
+        buckets = {}
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            ph = ((h + d - 1) // d) * d
+            pw = ((w + d - 1) // d) * d
+            buckets.setdefault((ph, pw), []).append(i)
+
+        results: List[Optional[Detection]] = [None] * len(images)
+        for (ph, pw), idxs in buckets.items():
+            frames = np.zeros((len(idxs), ph, pw, 3), np.uint8)
+            masks = np.zeros((len(idxs), ph, pw), bool)
+            exact = True
+            for row, i in enumerate(idxs):
+                h, w = images[i].shape[:2]
+                frames[row, :h, :w] = images[i]
+                masks[row, :h, :w] = True
+                exact = exact and (h == ph and w == pw)
+            program = self._get_program((ph, pw), masked=not exact)
+            if exact:
+                boxes, labels, scores, keep = program(
+                    self.model.variables, jnp.asarray(frames)
+                )
+            else:
+                boxes, labels, scores, keep = program(
+                    self.model.variables, jnp.asarray(frames), jnp.asarray(masks)
+                )
+            boxes = np.asarray(boxes)
+            labels = np.asarray(labels)
+            scores = np.asarray(scores)
+            keep = np.asarray(keep) & (np.asarray(scores) >= self.score_threshold)
+            for row, i in enumerate(idxs):
+                h, w = images[i].shape[:2]
+                k = keep[row]
+                b = boxes[row][k]
+                # Rescale from padded frame to the image's own frame.
+                if self.bbox_format == "xy_center":
+                    scale = np.array([pw / w, ph / h, pw / w, ph / h])
+                elif self.bbox_format == "xyxy":
+                    scale = np.array([pw / w, ph / h, pw / w, ph / h])
+                else:  # yxyx
+                    scale = np.array([ph / h, pw / w, ph / h, pw / w])
+                results[i] = Detection(b * scale, labels[row][k], scores[row][k])
+        return results  # type: ignore[return-value]

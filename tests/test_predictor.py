@@ -1,0 +1,40 @@
+"""Predictor: bucketed mixed-size serving path."""
+
+import numpy as np
+
+from detr_tensorflow_tpu.models import build_detr
+from detr_tensorflow_tpu.predictor import Predictor
+
+
+def test_predictor_mixed_sizes(rng):
+    model = build_detr(
+        num_classes=5, num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 64),
+    )
+    pred = Predictor(model, background_class=0, bucket_divisor=64)
+    images = [
+        rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8),
+        rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8),   # exact bucket
+        rng.integers(0, 255, size=(50, 80, 3)).astype(np.uint8),   # same bucket as #0
+    ]
+    results = pred(images)
+    assert len(results) == 3
+    for det in results:
+        assert det is not None
+        assert det.boxes.shape[1] == 4 if len(det.boxes) else True
+        assert len(det.boxes) == len(det.labels) == len(det.scores)
+    # images 0 and 2 share the (64, 128) bucket; only 2 programs compiled
+    assert len(pred._compiled) == 2
+
+
+def test_predictor_score_threshold(rng):
+    model = build_detr(
+        num_classes=5, num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 64),
+    )
+    loose = Predictor(model, background_class=0, bucket_divisor=64)
+    strict = Predictor(model, background_class=0, bucket_divisor=64,
+                       score_threshold=1.1)  # impossible
+    img = [rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)]
+    assert len(strict(img)[0].boxes) == 0
+    assert len(loose(img)[0].boxes) >= len(strict(img)[0].boxes)
