@@ -1,0 +1,101 @@
+"""Config parsing, weight save/load roundtrip, COCO JSON index."""
+
+import json
+
+import numpy as np
+import pytest
+
+from detr_tensorflow_tpu.train import TrainingConfig, training_config_parser
+from detr_tensorflow_tpu.models import weights as weights_lib
+
+
+def test_parser_updates_config():
+    parser = training_config_parser()
+    args = parser.parse_args([
+        "--data_dir", "/data/x", "--img_dir", "imgs", "--ann_file", "a.json",
+        "--batch_size", "4", "--target_batch", "16",
+        "--train_backbone", "--backbone_lr", "2e-5",
+        "--background_class", "91", "--compute_dtype", "bfloat16",
+    ])
+    config = TrainingConfig().update_from_args(args)
+    assert config.batch_size == 4
+    assert config.target_batch == 16
+    assert config.gradient_aggregate == 4
+    assert config.train_backbone is True
+    assert config.train_transformers is False  # untouched default
+    assert config.backbone_lr == pytest.approx(2e-5)
+    assert config.background_class == 91
+    assert config.compute_dtype == "bfloat16"
+    assert config.data.full_img_dir == "/data/x/imgs"
+    assert config.data.full_ann_file == "/data/x/a.json"
+
+
+def test_config_is_immutable():
+    config = TrainingConfig()
+    with pytest.raises(Exception):
+        config.batch_size = 99  # frozen dataclass
+    config2 = config.replace(batch_size=99)
+    assert config2.batch_size == 99 and config.batch_size == 1
+
+
+def test_gradient_aggregate_semantics():
+    assert TrainingConfig(batch_size=8, target_batch=32).gradient_aggregate == 4
+    assert TrainingConfig(batch_size=8, target_batch=None).gradient_aggregate == 1
+    assert TrainingConfig(batch_size=8, target_batch=4).gradient_aggregate == 1
+
+
+def test_npz_variables_roundtrip(tmp_path, rng):
+    tree = {
+        "params": {
+            "a": {"kernel": rng.normal(size=(3, 4)).astype(np.float32)},
+            "b": rng.normal(size=(7,)).astype(np.float32),
+        },
+        "frozen": {"bn": {"running_mean": np.zeros((5,), np.float32)}},
+    }
+    path = str(tmp_path / "w.npz")
+    weights_lib.save_variables_npz(tree, path)
+    loaded = weights_lib.load_variables_npz(path)
+    np.testing.assert_array_equal(loaded["params"]["a"]["kernel"], tree["params"]["a"]["kernel"])
+    np.testing.assert_array_equal(loaded["params"]["b"], tree["params"]["b"])
+    np.testing.assert_array_equal(
+        loaded["frozen"]["bn"]["running_mean"], tree["frozen"]["bn"]["running_mean"]
+    )
+
+
+def test_load_weights_missing_raises(tmp_path, monkeypatch):
+    monkeypatch.delenv("DETR_TPU_WEIGHTS", raising=False)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(FileNotFoundError, match="egress"):
+        weights_lib.load_weights("nonexistent-weights")
+
+
+def test_load_weights_npz_by_env(tmp_path, monkeypatch, rng):
+    tree = {"params": {"x": rng.normal(size=(2, 2)).astype(np.float32)}}
+    d = tmp_path / "wdir"
+    d.mkdir()
+    weights_lib.save_variables_npz(tree, str(d / "mymodel.npz"))
+    monkeypatch.setenv("DETR_TPU_WEIGHTS", str(d))
+    loaded = weights_lib.load_weights("mymodel")
+    np.testing.assert_array_equal(loaded["params"]["x"], tree["params"]["x"])
+
+
+def test_coco_index(tmp_path):
+    data = {
+        "images": [{"id": 7, "file_name": "a.jpg", "height": 10, "width": 20}],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 3, "bbox": [1, 2, 3, 4], "iscrowd": 0},
+            {"id": 2, "image_id": 7, "category_id": 5, "bbox": [0, 0, 5, 5], "iscrowd": 1},
+        ],
+        "categories": [{"id": 3, "name": "cat"}, {"id": 5, "name": "dog"}],
+    }
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(data))
+
+    from detr_tensorflow_tpu.data.coco_api import CocoIndex
+
+    coco = CocoIndex(str(p))
+    assert coco.getImgIds() == [7]
+    assert sorted(coco.getCatIds()) == [3, 5]
+    assert coco.loadImgs([7])[0]["file_name"] == "a.jpg"
+    assert len(coco.loadAnnsForImage(7)) == 2
+    assert coco.getAnnIds(7) == [1, 2]
