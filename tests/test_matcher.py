@@ -128,3 +128,26 @@ def test_hungarian_match_full_targets(rng):
     matched = np.asarray(out["pred_of_target"])
     assert sorted(matched.tolist()) == list(range(100))
     assert np.asarray(out["pred_matched"]).all()
+
+
+def test_solve_lap_masked_prefix_rows(rng):
+    """Rectangular masked solve == scipy on the selected submatrix."""
+    solve = jax.jit(matcher.solve_lap_masked)
+    for n_real in [1, 3, 7, 12]:
+        cost = rng.normal(size=(20, 40)).astype(np.float32)
+        mask = np.zeros((20,), bool)
+        mask[:n_real] = True
+        col = np.asarray(solve(jnp.asarray(cost), jnp.asarray(mask)))
+        assert (col[n_real:] == -1).all()
+        assigned = col[:n_real]
+        assert (assigned >= 0).all()
+        assert len(set(assigned.tolist())) == n_real  # distinct columns
+        ours = cost[np.arange(n_real), assigned].sum()
+        r, c = linear_sum_assignment(cost[:n_real])
+        np.testing.assert_allclose(ours, cost[r, c].sum(), rtol=1e-5, atol=1e-5)
+
+
+def test_solve_lap_masked_all_masked():
+    cost = jnp.zeros((5, 8))
+    col = np.asarray(matcher.solve_lap_masked(cost, jnp.zeros((5,), bool)))
+    assert (col == -1).all()
