@@ -183,3 +183,33 @@ def test_normalization_roundtrip(rng):
     norm = processing.normalized_images(img, Cfg())
     back = processing.denormalize_image(norm, Cfg())
     assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_get_losses_reference_layout_shim(rng):
+    """The reference-signature get_losses accepts header-row targets
+    (processing.py:35-55 layout) and matches the native-layout loss."""
+    from detr_tensorflow_tpu.data import processing
+
+    p_logits, p_boxes, t_bbox, t_class, t_mask, t_counts = _instance(rng, B=2)
+    m_outputs = {"pred_logits": jnp.asarray(p_logits), "pred_boxes": jnp.asarray(p_boxes)}
+
+    # Build reference-layout targets from the native ones.
+    ref_bbox = np.zeros((2, 101, 4), np.float32)
+    ref_cls = np.zeros((2, 101, 1), np.int64)
+    for b in range(2):
+        n = t_counts[b]
+        _, bb, cc = processing.pad_labels(None, t_bbox[b, :n], t_class[b, :n],
+                                          max_targets=101)
+        ref_bbox[b], ref_cls[b] = bb, cc
+
+    class Cfg:
+        background_class = BACKGROUND
+
+    total_shim, log_shim = losses.get_losses(m_outputs, jnp.asarray(ref_bbox),
+                                             jnp.asarray(ref_cls), Cfg())
+    total_native, _ = losses.detr_loss(
+        m_outputs, jnp.asarray(t_bbox), jnp.asarray(t_class),
+        jnp.asarray(t_mask), BACKGROUND,
+    )
+    np.testing.assert_allclose(float(total_shim), float(total_native), rtol=1e-5)
+    assert "label_cost" in log_shim
