@@ -203,3 +203,11 @@ def np_rescale_bbox_yx_min_yx_max(b: np.ndarray, img_size) -> np.ndarray:
 # Reference-named numpy aliases.
 np_xcycwh_to_xy_min_xy_max = np_xcycwh_to_xyxy
 np_yx_min_yx_max_to_xy_min_xy_max = np_yxyx_to_xyxy
+
+
+def bbox_xcycwh_to_x1y1x2y2(bbox_xcycwh: np.ndarray) -> np.ndarray:
+    """Pixel-space xcycwh -> integer xyxy corners (reference bbox.py:14-26,
+    used for drawing)."""
+    b = np.asarray(bbox_xcycwh, np.float64)
+    out = np.concatenate([b[..., :2] - b[..., 2:] / 2.0, b[..., :2] + b[..., 2:] / 2.0], axis=-1)
+    return out.astype(np.int32)

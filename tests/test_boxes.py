@@ -90,3 +90,9 @@ def test_rescale(rng):
     np.testing.assert_allclose(out, b * np.array([640, 480, 640, 480]))
     out = boxes.np_rescale_bbox_yx_min_yx_max(b, (480, 640))
     np.testing.assert_allclose(out, b * np.array([480, 640, 480, 640]))
+
+
+def test_bbox_xcycwh_to_x1y1x2y2_int_corners():
+    out = boxes.bbox_xcycwh_to_x1y1x2y2(np.array([[50.0, 40.0, 20.0, 10.0]]))
+    np.testing.assert_array_equal(out, [[40, 35, 60, 45]])
+    assert out.dtype == np.int32
