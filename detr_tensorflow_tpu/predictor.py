@@ -93,6 +93,20 @@ class Predictor:
         self._compiled[key] = program
         return program
 
+    def warmup(self, shapes: List[Tuple[int, int]], batch: int = 1) -> None:
+        """Precompile the programs for a set of (height, width) buckets so
+        first-request latency is flat in serving (compiles the masked
+        variant: it covers both exact and padded inputs at the cost of a
+        negligible all-valid mask)."""
+        d = self.bucket_divisor
+        for h, w in shapes:
+            ph = ((h + d - 1) // d) * d
+            pw = ((w + d - 1) // d) * d
+            program = self._get_program((ph, pw), masked=True)
+            frames = jnp.zeros((batch, ph, pw, 3), jnp.uint8)
+            mask = jnp.ones((batch, ph, pw), bool)
+            jax.block_until_ready(program(self.model.variables, frames, mask))
+
     def __call__(self, images: List[np.ndarray]) -> List[Detection]:
         """Run detection on a list of uint8 RGB images (any sizes).
 
@@ -117,6 +131,12 @@ class Predictor:
                 frames[row, :h, :w] = images[i]
                 masks[row, :h, :w] = True
                 exact = exact and (h == ph and w == pw)
+            # Reuse a warmed masked program for exact-size batches rather
+            # than compiling a second (unmasked) variant.
+            if exact and ((ph, pw), True) in self._compiled and (
+                ((ph, pw), False) not in self._compiled
+            ):
+                exact = False
             program = self._get_program((ph, pw), masked=not exact)
             if exact:
                 boxes, labels, scores, keep = program(

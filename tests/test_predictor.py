@@ -38,3 +38,17 @@ def test_predictor_score_threshold(rng):
     img = [rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)]
     assert len(strict(img)[0].boxes) == 0
     assert len(loose(img)[0].boxes) >= len(strict(img)[0].boxes)
+
+
+def test_predictor_warmup(rng):
+    model = build_detr(
+        num_classes=5, num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 64),
+    )
+    pred = Predictor(model, background_class=0, bucket_divisor=64)
+    pred.warmup([(60, 90), (64, 64)])
+    assert len(pred._compiled) == 2  # (64,128) and (64,64), masked variants
+    # serving afterwards reuses the warmed programs for padded inputs
+    img = [rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)]
+    out = pred(img)
+    assert out[0] is not None
