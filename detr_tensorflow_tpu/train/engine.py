@@ -263,12 +263,20 @@ def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None
 
 
 def eval_loop(trainer: Trainer, valid_dataset, config, class_names=None,
-              evaluation_step: int = 200, log_fn=None):
-    """Validation loss loop (reference training.py:68-87)."""
-    del class_names
+              evaluation_step: int = 200, log_fn=None, visual_log: bool = False):
+    """Validation loss loop (reference training.py:68-87). With
+    ``visual_log`` (and wandb available), accumulates per-batch mAP and
+    box-overlay images exactly like the reference's ``valid_log``
+    (logger/training_logging.py:99-106)."""
     logs = []
     for val_step, batch in enumerate(valid_dataset):
-        _, log = trainer.evaluate(batch)
+        outputs, log = trainer.evaluate(batch)
+        if visual_log:
+            from ..logger import valid_log as _valid_log
+
+            _valid_log(batch, outputs, config, val_step,
+                       int(trainer.state.step), class_names,
+                       evaluation_step=evaluation_step)
         logs.append(jax.device_get(log))
         if val_step % 10 == 0:
             print(
