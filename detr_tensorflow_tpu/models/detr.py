@@ -59,6 +59,7 @@ class DETR(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False  # rematerialize transformer layers (memory saver)
+    fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
 
     @nn.compact
     def __call__(self, images, pixel_mask=None, train=False):
@@ -75,6 +76,7 @@ class DETR(nn.Module):
             stage_sizes=stage_sizes,
             replace_stride_with_dilation=(False, False, self.dilation),
             dtype=self.dtype,
+            fuse_residual=self.fuse_residual,
             name="backbone",
         )(images.astype(self.dtype))
         b, fh, fw, _ = feats.shape

@@ -32,9 +32,7 @@ class FrozenBatchNorm(nn.Module):
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+    def _scale_shift(self, c: int):
         weight = self.variable("frozen", "weight", lambda: jnp.ones((c,), jnp.float32))
         bias = self.variable("frozen", "bias", lambda: jnp.zeros((c,), jnp.float32))
         mean = self.variable(
@@ -45,6 +43,15 @@ class FrozenBatchNorm(nn.Module):
         )
         scale = weight.value * jax.lax.rsqrt(var.value + self.eps)
         shift = bias.value - mean.value * scale
+        return scale, shift
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale_shift_only: bool = False):
+        scale, shift = self._scale_shift(x.shape[-1])
+        if scale_shift_only:
+            # For kernels that fold the affine elsewhere (fused bottleneck
+            # tail): x is only consulted for the channel count.
+            return scale, shift
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
 
 

@@ -81,6 +81,23 @@ class StemConv(nn.Module):
         )
 
 
+class _Conv1x1Kernel(nn.Module):
+    """Declares a 1x1 conv kernel with nn.Conv's exact parameter name,
+    shape, and initializer — the fused bottleneck tail consumes the raw
+    weight, so checkpoints stay interchangeable with the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, in_features, self.features),
+            jnp.float32,
+        )
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride/dilation) -> 1x1 bottleneck with frozen BN
     (reference resnet_backbone.py:94-136)."""
@@ -91,6 +108,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     dtype: Dtype = jnp.float32
+    fuse_residual: bool = False  # Pallas fused conv3+bn3+add+relu tail
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -106,11 +124,30 @@ class Bottleneck(nn.Module):
         out = conv(self.dim1, 3, self.strides, d, "conv2", [(d, d), (d, d)])(out)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
-        out = conv(self.dim2, 1, 1, 1, "conv3", "VALID")(out)
-        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
+
         if self.downsample:
             identity = conv(self.dim2, 1, self.strides, 1, "downsample_conv", "VALID")(x)
             identity = FrozenBatchNorm(dtype=self.dtype, name="downsample_bn")(identity)
+
+        if self.fuse_residual:
+            # Inference fast path: the bottleneck tail (1x1 conv == matmul,
+            # frozen-BN affine, residual join, relu) as one Pallas kernel —
+            # the conv output never round-trips HBM
+            # (ops/pallas/fused_residual.py). Identical parameter tree:
+            # conv3/kernel declared with nn.Conv's exact shape/init, bn3
+            # consulted for its scale/shift only.
+            from ..ops.pallas import fused_residual
+
+            kernel = _Conv1x1Kernel(self.dim2, name="conv3")(out.shape[-1])
+            scale, shift = FrozenBatchNorm(dtype=self.dtype, name="bn3")(
+                jnp.zeros((1, self.dim2), self.dtype), scale_shift_only=True
+            )
+            return fused_residual.conv1x1_bn_residual_relu(
+                out, kernel.astype(self.dtype), scale, shift,
+                identity.astype(self.dtype),
+            )
+        out = conv(self.dim2, 1, 1, 1, "conv3", "VALID")(out)
+        out = FrozenBatchNorm(dtype=self.dtype, name="bn3")(out)
         return nn.relu(out + identity)
 
 
@@ -123,18 +160,19 @@ class ResNetStage(nn.Module):
     strides: int = 1
     dilate: bool = False
     dtype: Dtype = jnp.float32
+    fuse_residual: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         strides, dilation = (1, 2) if self.dilate else (self.strides, 1)
         x = Bottleneck(
             self.dim1, self.dim2, strides=strides, downsample=True,
-            dtype=self.dtype, name="block_0",
+            dtype=self.dtype, fuse_residual=self.fuse_residual, name="block_0",
         )(x)
         for i in range(1, self.num_blocks):
             x = Bottleneck(
                 self.dim1, self.dim2, dilation=dilation, dtype=self.dtype,
-                name=f"block_{i}",
+                fuse_residual=self.fuse_residual, name=f"block_{i}",
             )(x)
         return x
 
@@ -145,6 +183,7 @@ class ResNetBackbone(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
     dtype: Dtype = jnp.float32
+    fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +197,8 @@ class ResNetBackbone(nn.Module):
         for s, (n_blocks, (d1, d2)) in enumerate(zip(self.stage_sizes, dims)):
             x = ResNetStage(
                 n_blocks, d1, d2, strides=1 if s == 0 else 2, dilate=dilate[s],
-                dtype=self.dtype, name=f"layer{s + 1}",
+                dtype=self.dtype, fuse_residual=self.fuse_residual,
+                name=f"layer{s + 1}",
             )(x)
         return x
 

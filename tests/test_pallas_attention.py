@@ -50,3 +50,30 @@ def test_mha_inside_model(rng):
         np.asarray(out_pl["pred_boxes"]), np.asarray(out_xla["pred_boxes"]),
         atol=1e-5, rtol=1e-4,
     )
+
+
+def test_fused_residual_matmul(rng):
+    from detr_tensorflow_tpu.ops.pallas import fused_residual
+
+    n, cin, cout = 300, 64, 256
+    x = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(cin, cout)).astype(np.float32)) * 0.1
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(cout,)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    identity = jnp.asarray(rng.normal(size=(n, cout)).astype(np.float32))
+    out = fused_residual.matmul_bn_residual_relu(x, w, scale, shift, identity, tc=256)
+    ref = np.maximum(np.asarray(x) @ np.asarray(w) * np.asarray(scale)
+                     + np.asarray(shift) + np.asarray(identity), 0)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fused_residual_backbone_parity(rng):
+    from detr_tensorflow_tpu.models import ResNetBackbone
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    base = ResNetBackbone(stage_sizes=(1, 1, 1, 1))
+    variables = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(variables, x)
+    fused = ResNetBackbone(stage_sizes=(1, 1, 1, 1), fuse_residual=True)
+    out = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
