@@ -64,6 +64,22 @@ class DetrModel:
     def frozen(self):
         return self.variables.get("frozen", {})
 
+    def save(self, path: str) -> None:
+        """Save the variables to our native .npz format (loadable back via
+        ``weights='<path>'`` or ``DetrModel.load``) — weight *saving* is a
+        capability the reference lacks entirely (SURVEY.md §5)."""
+        import jax
+
+        weights_lib.save_variables_npz(jax.device_get(self.variables), path)
+
+    def load(self, path_or_name: str, **convert_kwargs) -> "DetrModel":
+        """Replace this bundle's variables from a local checkpoint
+        (.npz native format or torch .pth/.bin, auto-converted)."""
+        loaded = weights_lib.load_weights(path_or_name, **convert_kwargs)
+        self.variables = jax.tree.map(jnp.asarray, loaded)
+        self._jitted = {}
+        return self
+
 
 def build_detr(
     num_classes: int = 92,

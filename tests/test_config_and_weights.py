@@ -99,3 +99,33 @@ def test_coco_index(tmp_path):
     assert coco.loadImgs([7])[0]["file_name"] == "a.jpg"
     assert len(coco.loadAnnsForImage(7)) == 2
     assert coco.getAnnIds(7) == [1, 2]
+
+
+def test_detr_model_save_load_roundtrip(tmp_path, rng):
+    from detr_tensorflow_tpu.models import build_detr
+    import jax
+    import numpy as np
+
+    model = build_detr(
+        num_classes=4, num_queries=5, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(32, 32),
+    )
+    path = str(tmp_path / "m.npz")
+    model.save(path)
+
+    other = build_detr(
+        num_classes=4, num_queries=5, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(32, 32), seed=123,
+    )
+    # different init...
+    a0 = np.asarray(jax.tree.leaves(other.params)[0])
+    other.load(path)
+    for x, y in zip(jax.tree.leaves(jax.device_get(model.variables)),
+                    jax.tree.leaves(jax.device_get(other.variables))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # forward agrees
+    img = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    o1 = model(img)
+    o2 = other(img)
+    np.testing.assert_allclose(np.asarray(o1["pred_logits"]),
+                               np.asarray(o2["pred_logits"]), atol=1e-6)
