@@ -209,3 +209,51 @@ def test_csv_loader_end_to_end(csv_root):
     assert class_names2 == ["background", "helmet"]
     b2 = next(iter(ds2))
     assert int(b2["mask"][0].sum()) == 1
+
+
+def test_host_dataset_multi_epoch_reshuffles(rng):
+    seen_orders = []
+
+    def load(i):
+        return {"x": np.full((1,), i, np.float32)}
+
+    ds = HostDataset(list(range(16)), load, batch_size=4, shuffle=True, seed=3)
+    for _ in range(2):
+        order = [int(v) for b in ds for v in b["x"][:, 0]]
+        seen_orders.append(order)
+        assert sorted(order) == list(range(16))
+    assert seen_orders[0] != seen_orders[1]  # reshuffled between epochs
+
+
+def test_host_dataset_early_break_no_deadlock():
+    def load(i):
+        return {"x": np.zeros((1,), np.float32)}
+
+    ds = HostDataset(list(range(64)), load, batch_size=2, shuffle=False,
+                     prefetch=2, num_workers=2)
+    for k, _ in enumerate(ds):
+        if k == 1:
+            break  # abandon mid-epoch; producer must not deadlock
+    # iterating again still works
+    assert len(list(ds)) == 32
+
+
+def test_prefetch_to_device(rng):
+    from detr_tensorflow_tpu.data import prefetch_to_device
+
+    batches = [{"x": rng.normal(size=(2, 3)).astype(np.float32)} for _ in range(5)]
+    out = list(prefetch_to_device(iter(batches), depth=2))
+    assert len(out) == 5
+    for a, b in zip(batches, out):
+        np.testing.assert_allclose(a["x"], np.asarray(b["x"]))
+
+
+def test_coco_loader_with_augmentation(coco_root):
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(coco_root), img_dir="images", ann_file="ann.json"),
+        image_size=(64, 96),
+    )
+    ds, _ = load_coco_dataset(config, batch_size=2, augmentation=True, num_workers=2)
+    b = next(iter(ds))
+    assert b["images"].shape == (2, 64, 96, 3)
+    assert b["mask"].any()

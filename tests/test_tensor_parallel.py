@@ -90,3 +90,14 @@ def test_tp_plus_dp_train_step_runs(rng):
     # params actually sharded on the model axis
     k = trainer.state.params["transformer"]["encoder_layer_0"]["linear1"]["kernel"]
     assert "model" in str(k.sharding.spec)
+
+
+def test_tp_eval_step_runs(rng):
+    model = _model()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    mesh = make_mesh(4, axis_names=("data", "model"), axis_sizes=(1, 4))
+    config = TrainingConfig(background_class=0)
+    trainer = Trainer(model, variables, config, mesh=mesh)
+    out, log = trainer.evaluate(_batch(rng))
+    assert np.isfinite(float(log["total_loss"]))
+    assert out["pred_logits"].shape == (4, 6, 5)
