@@ -97,8 +97,13 @@ def build_detr(
     image_size=(376, 672),
     seed: int = 42,
     normalized_method: str = "torch_resnet",
+    **model_kwargs,
 ) -> DetrModel:
-    """Construct a DETR bundle, optionally loading converted weights."""
+    """Construct a DETR bundle, optionally loading converted weights.
+
+    Extra keyword args (model_dim, num_heads, dim_feedforward, dropout,
+    remat, fuse_residual, ...) pass straight through to the DETR module.
+    """
     module = DETR(
         num_classes=num_classes,
         num_queries=num_queries,
@@ -111,6 +116,7 @@ def build_detr(
         nb_class=nb_class,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype],
         attn_impl=attn_impl,
+        **model_kwargs,
     )
     h, w = image_size
     variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
