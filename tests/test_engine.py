@@ -223,3 +223,18 @@ def test_staged_unfreeze(rng):
     )
     assert moved
     assert int(trainer.state.step) == 2  # step counter survives the rebuild
+
+
+def test_fit_periodic_checkpointing(rng, tmp_path):
+    from detr_tensorflow_tpu.train import fit, latest_step
+
+    model = _tiny_model()
+    config = TrainingConfig(
+        background_class=0, train_transformers=True, target_batch=None,
+        checkpoint_dir=str(tmp_path / "ckpts"),
+    )
+    trainer = Trainer(model, _init(model), config)
+    batches = [_batch(rng) for _ in range(4)]
+    fit(trainer, batches, config, epoch_nb=0, checkpoint_every=2)
+    # steps 2 and 4 snapshotted; latest is 4
+    assert latest_step(config.checkpoint_dir) == 4
