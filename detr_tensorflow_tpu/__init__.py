@@ -20,3 +20,12 @@ Design principles (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
+from . import models  # noqa: F401
+from . import data  # noqa: F401
+from . import train  # noqa: F401
+from . import parallel  # noqa: F401
+from . import metrics  # noqa: F401
+from . import logger  # noqa: F401
+from . import utils  # noqa: F401
+from . import inference  # noqa: F401
+from .predictor import Predictor, Detection  # noqa: F401
