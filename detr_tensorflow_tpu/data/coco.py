@@ -20,7 +20,7 @@ import numpy as np
 
 from . import processing, transforms
 from .coco_api import CocoIndex
-from .pipeline import HostDataset
+from .pipeline import HostDataset, WorkerRNG
 
 # Display names for the standard 91-id COCO category space + "back".
 COCO_CLASS_NAME = [
@@ -105,7 +105,7 @@ def load_coco_dataset(
         class_names[c["id"]] = c["name"]
     background_class = max_id + 1
 
-    rng = np.random.default_rng(seed)
+    worker_rng = WorkerRNG(seed)
 
     def load_example(img_id):
         img = coco.loadImgs([img_id])[0]
@@ -115,7 +115,7 @@ def load_coco_dataset(
             return None  # reference filter, coco.py:118
         if augmentation is not None:
             image, t_bbox, t_class = transforms.detr_transform(
-                image, t_bbox, t_class, config, augmentation, rng=rng
+                image, t_bbox, t_class, config, augmentation, rng=worker_rng.get()
             )
             if len(t_bbox) == 0:
                 return None
@@ -125,33 +125,10 @@ def load_coco_dataset(
                 "images": image.astype(np.float32),
                 "boxes": boxes, "classes": classes, "mask": mask,
             }
-        # Original-size eval: bucket-pad + pixel mask. Fused native
-        # normalize+placement when available (one pass, no temporaries).
-        h, w = image.shape[:2]
-        ph = ((h + bucket_divisor - 1) // bucket_divisor) * bucket_divisor
-        pw = ((w + bucket_divisor - 1) // bucket_divisor) * bucket_divisor
-        padded = None
-        if (
-            getattr(config, "normalized_method", "torch_resnet") == "torch_resnet"
-            and image.dtype == np.uint8
-        ):
-            from . import native
-
-            padded = native.normalize_torch_into_bucket(image, ph, pw)
-        if padded is None:
-            image = processing.normalized_images(image, config)
-            padded, _, _ = processing.pad_image_to_bucket(image, bucket_divisor)
-        pixel_mask = np.zeros((ph, pw), bool)
-        pixel_mask[:h, :w] = True
-        scale = np.array(
-            [w / padded.shape[1], h / padded.shape[0]] * 2, np.float32
+        # Original-size eval: bucket-pad + pixel mask (shared helper).
+        return processing.make_eval_example(
+            image, t_bbox, t_class, config, bucket_divisor
         )
-        boxes, classes, mask = processing.pad_targets(t_bbox * scale, t_class, max_targets=getattr(config, 'num_queries', processing.MAX_TARGETS))
-        return {
-            "images": padded.astype(np.float32),
-            "pixel_mask": pixel_mask,
-            "boxes": boxes, "classes": classes, "mask": mask,
-        }
 
     ids = coco.getImgIds()
     dataset = HostDataset(

@@ -27,6 +27,31 @@ def stack_batch(examples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarr
     return {k: np.stack([e[k] for e in examples], axis=0) for k in keys}
 
 
+class WorkerRNG:
+    """Per-thread numpy Generators with independent spawned streams.
+
+    numpy Generators are not thread-safe: sharing one across a
+    ThreadPoolExecutor's decode/augment workers races on internal state,
+    yielding correlated or corrupted draws. Each worker thread lazily
+    receives its own Generator spawned from a single SeedSequence
+    (``spawn`` itself guarded by a lock).
+    """
+
+    def __init__(self, seed: int = 0):
+        self._seq = np.random.SeedSequence(seed)
+        self._lock = threading.Lock()
+        self._tls = threading.local()
+
+    def get(self) -> np.random.Generator:
+        rng = getattr(self._tls, "rng", None)
+        if rng is None:
+            with self._lock:
+                child = self._seq.spawn(1)[0]
+            rng = np.random.default_rng(child)
+            self._tls.rng = rng
+        return rng
+
+
 class HostDataset:
     """Index-based dataset with shuffling, filtering, batching, prefetch.
 
@@ -64,6 +89,9 @@ class HostDataset:
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
+        """Upper bound on batches per epoch: ``load_fn`` may filter
+        examples (return None), shrinking the true count — the same
+        unknown-cardinality-after-filter caveat as ``tf.data``."""
         return len(self.indices) // self.batch_size
 
     def _epoch_indices(self) -> List:
@@ -89,6 +117,10 @@ class HostDataset:
             return False
 
         def producer():
+            # A load_fn/collate failure must surface in the consumer, not
+            # silently truncate the epoch: capture it and ship it through
+            # the queue, where __iter__ re-raises it.
+            error = None
             try:
                 # Sliding submission window: ThreadPoolExecutor.map has no
                 # backpressure (it enqueues the whole epoch and decoded
@@ -122,9 +154,11 @@ class HostDataset:
                                 return
                             pending = []
                     # drop remainder (static batch shape)
+            except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                error = e
             finally:
                 try:
-                    out_q.put(None, timeout=1.0)
+                    out_q.put(error, timeout=1.0)
                 except queue.Full:
                     pass
 
@@ -135,6 +169,8 @@ class HostDataset:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -131,6 +131,57 @@ def pad_image_to_bucket(image: np.ndarray, divisor: int = 128):
     return out, mask, (h, w)
 
 
+def make_eval_example(
+    image: np.ndarray,
+    t_bbox: np.ndarray,
+    t_class: np.ndarray,
+    config,
+    bucket_divisor: int = 128,
+):
+    """Original-size evaluation example: bucket-pad + pixel mask + box
+    rescale, in one dict ready for ``stack_batch``.
+
+    Shared by the COCO and VOC loaders' ``augmentation=None`` path —
+    the TPU-native replacement for the reference's eager per-shape
+    retrace (reference eval.py:41-58). Uses the fused C++
+    normalize-into-bucket kernel when applicable (one pass, no
+    temporaries).
+    """
+    h, w = image.shape[:2]
+    ph = ((h + bucket_divisor - 1) // bucket_divisor) * bucket_divisor
+    pw = ((w + bucket_divisor - 1) // bucket_divisor) * bucket_divisor
+    padded = None
+    if (
+        getattr(config, "normalized_method", "torch_resnet") == "torch_resnet"
+        and image.dtype == np.uint8
+        and image.ndim == 3
+        and image.shape[-1] == 3
+    ):
+        from . import native
+
+        padded = native.normalize_torch_into_bucket(image, ph, pw)
+    if padded is None:
+        normalized = normalized_images(image, config)
+        padded, _, _ = pad_image_to_bucket(normalized, bucket_divisor)
+    pixel_mask = np.zeros((ph, pw), bool)
+    pixel_mask[:h, :w] = True
+    # Normalized boxes were relative to (h, w); after padding the frame is
+    # (ph, pw), so rescale. IoU is invariant (predictions scale the same).
+    scale = np.array([w / pw, h / ph] * 2, np.float32)
+    boxes, classes, mask = pad_targets(
+        t_bbox * scale,
+        t_class,
+        max_targets=getattr(config, "num_queries", MAX_TARGETS),
+    )
+    return {
+        "images": padded.astype(np.float32),
+        "pixel_mask": pixel_mask,
+        "boxes": boxes,
+        "classes": classes,
+        "mask": mask,
+    }
+
+
 def unpack_labels(t_bbox, t_class):
     """Convert the reference's header layout (batched) to the native
     (boxes, classes, mask) layout — device-side, static shapes.

@@ -16,7 +16,7 @@ from typing import Optional
 import numpy as np
 
 from . import processing, transforms
-from .pipeline import HostDataset
+from .pipeline import HostDataset, WorkerRNG
 
 VOC_CLASS_NAME = [
     "back", "aeroplane", "bicycle", "bird", "boat",
@@ -64,6 +64,7 @@ def load_voc_dataset(
     ann_file: Optional[str] = None,
     img_dir: Optional[str] = None,
     shuffle: bool = True,
+    bucket_divisor: int = 128,
     num_workers: int = 8,
     seed: int = 0,
 ):
@@ -85,7 +86,7 @@ def load_voc_dataset(
             if name not in class_names:
                 class_names.append(name)
 
-    rng = np.random.default_rng(seed)
+    worker_rng = WorkerRNG(seed)
 
     def load_example(img_id):
         from .coco import _read_image
@@ -98,12 +99,19 @@ def load_voc_dataset(
         t_bbox, t_class = load_voc_labels(ann_path, class_names)
         if len(t_bbox) == 0:
             return None
-        if augmentation is not None:
-            image, t_bbox, t_class = transforms.detr_transform(
-                image, t_bbox, t_class, config, augmentation, rng=rng
+        if augmentation is None:
+            # Original-size eval: bucket-pad + pixel mask so batches stack
+            # and XLA compiles a bounded shape set (COCO-loader parity —
+            # previously returned ragged original-size images that
+            # stack_batch could not batch).
+            return processing.make_eval_example(
+                image, t_bbox, t_class, config, bucket_divisor
             )
-            if len(t_bbox) == 0:
-                return None
+        image, t_bbox, t_class = transforms.detr_transform(
+            image, t_bbox, t_class, config, augmentation, rng=worker_rng.get()
+        )
+        if len(t_bbox) == 0:
+            return None
         image = processing.normalized_images(image, config)
         boxes, classes, mask = processing.pad_targets(t_bbox, t_class, max_targets=getattr(config, 'num_queries', processing.MAX_TARGETS))
         return {

@@ -46,7 +46,10 @@ class DetrModel:
                     return self.module.apply(
                         variables, images, train=train, rngs=rngs
                     )
-            self._jitted[key] = jax.jit(fn) if not train else fn
+            # Both modes are jitted; a train=True call with dropout active
+            # just needs its rngs dict passed through (PRNG keys are
+            # ordinary traced arrays).
+            self._jitted[key] = jax.jit(fn)
         return self._jitted[key]
 
     def __call__(self, images, pixel_mask=None, training: bool = False, rngs=None):
@@ -94,6 +97,7 @@ def build_detr(
     dtype: str = "float32",
     attn_impl: str = "xla",
     weights: Optional[str] = None,
+    backbone_weights: Optional[str] = None,
     image_size=(376, 672),
     seed: int = 42,
     normalized_method: str = "torch_resnet",
@@ -139,6 +143,17 @@ def build_detr(
                 params[key] = loaded["params"][key]
             variables = {"params": params, "frozen": loaded["frozen"]}
 
+    if backbone_weights is not None:
+        # ImageNet backbone init from a local torchvision checkpoint —
+        # offline equivalent of the reference's tf_backbone=True Keras
+        # ImageNet load (detr_tf/networks/detr.py:148).
+        bb = weights_lib.load_backbone_weights(
+            backbone_weights, depth=backbone_depth
+        )
+        variables = weights_lib.apply_backbone_weights(
+            variables, jax.tree.map(jnp.asarray, bb)
+        )
+
     return DetrModel(module, variables, normalized_method=normalized_method)
 
 
@@ -171,17 +186,23 @@ def get_detr_model(
     else:
         head = "none"
     normalized_method = "tf_resnet" if tf_backbone else "torch_resnet"
-    image_size = getattr(config, "image_size", (376, 672)) if config is not None else (376, 672)
+    # Explicit kwargs win over config-derived defaults.
+    kwargs.setdefault(
+        "image_size",
+        getattr(config, "image_size", (376, 672)) if config is not None else (376, 672),
+    )
     kwargs.setdefault("dtype", getattr(config, "compute_dtype", "float32"))
     kwargs.setdefault("attn_impl", getattr(config, "attn_impl", "xla"))
     kwargs.setdefault("num_queries", getattr(config, "num_queries", 100))
+    kwargs.setdefault(
+        "backbone_weights", getattr(config, "backbone_weights", None)
+    )
     return build_detr(
         head=head,
         nb_class=nb_class,
         weights=weights,
         num_encoder_layers=num_encoder_layers,
         num_decoder_layers=num_decoder_layers,
-        image_size=image_size,
         normalized_method=normalized_method,
         **kwargs,
     )

@@ -101,23 +101,27 @@ def _convert_backbone(
     sd: Mapping, scheme: str, depth: int
 ) -> Tuple[Tree, Tree]:
     """Returns (params, frozen) subtrees for the ``backbone`` module."""
-    if scheme == "facebook":
-        root = "backbone.0.body"
+    if scheme in ("facebook", "torchvision"):
+        # torchvision resnet50/101 state_dicts use the identical layer
+        # naming as facebook DETR's backbone, minus the "backbone.0.body"
+        # root (DETR wraps a torchvision resnet) — the offline stand-in
+        # for the reference's Keras ImageNet backbone (detr.py:148).
+        root = "backbone.0.body." if scheme == "facebook" else ""
 
         def conv_key(s, b, j):
-            return f"{root}.layer{s + 1}.{b}.conv{j + 1}.weight"
+            return f"{root}layer{s + 1}.{b}.conv{j + 1}.weight"
 
         def bn_prefix(s, b, j):
-            return f"{root}.layer{s + 1}.{b}.bn{j + 1}"
+            return f"{root}layer{s + 1}.{b}.bn{j + 1}"
 
         def short_conv_key(s, b):
-            return f"{root}.layer{s + 1}.{b}.downsample.0.weight"
+            return f"{root}layer{s + 1}.{b}.downsample.0.weight"
 
         def short_bn_prefix(s, b):
-            return f"{root}.layer{s + 1}.{b}.downsample.1"
+            return f"{root}layer{s + 1}.{b}.downsample.1"
 
-        stem_conv = f"{root}.conv1.weight"
-        stem_bn = f"{root}.bn1"
+        stem_conv = f"{root}conv1.weight"
+        stem_bn = f"{root}bn1"
     elif scheme == "hf":
         root = "model.backbone.conv_encoder.model"
 
@@ -264,6 +268,46 @@ def convert_torch_detr(
         },
     }
     return {"params": params, "frozen": {"backbone": bb_frozen}}
+
+
+def convert_torchvision_backbone(state_dict: Mapping, depth: int = 50) -> Tree:
+    """Torchvision ``resnet50/101-*.pth`` -> backbone-only variables.
+
+    Offline ImageNet initialization for from-scratch training — the
+    TPU-native stand-in for the reference's ``tf_backbone=True`` Keras
+    ImageNet load (detr_tf/networks/detr.py:148). The classifier ``fc``
+    weights are ignored. Returns ``{'params': {'backbone': ...},
+    'frozen': {'backbone': ...}}`` ready to merge into model variables.
+    """
+    params, frozen = _convert_backbone(state_dict, "torchvision", depth)
+    return {"params": {"backbone": params}, "frozen": {"backbone": frozen}}
+
+
+def load_backbone_weights(path: str, depth: int = 50) -> Tree:
+    """Load a local torchvision resnet checkpoint (.pth/.pt/.bin or a
+    converted .npz) into backbone-only variables."""
+    if path.endswith(".npz"):
+        tree = load_variables_npz(path)
+        if "params" not in tree:  # raw backbone subtrees
+            raise ValueError(f"{path} is not a variables archive")
+        return tree
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_torchvision_backbone(sd, depth=depth)
+
+
+def apply_backbone_weights(variables: Tree, backbone_vars: Tree) -> Tree:
+    """Graft converted backbone params+frozen stats into full variables."""
+    out = {k: dict(v) for k, v in variables.items()}
+    out.setdefault("frozen", {})
+    out["params"]["backbone"] = backbone_vars["params"]["backbone"]
+    out["frozen"]["backbone"] = backbone_vars["frozen"]["backbone"]
+    return out
 
 
 # ---------------------------------------------------------------------------

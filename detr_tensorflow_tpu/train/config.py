@@ -85,6 +85,9 @@ class TrainingConfig:
     num_queries: int = 100
     data_parallel: int = 1  # devices along the mesh's data axis
     checkpoint_dir: Optional[str] = None
+    # Local torchvision resnet checkpoint for ImageNet backbone init
+    # (offline stand-in for the reference's tf_backbone=True Keras load).
+    backbone_weights: Optional[str] = None
 
     @property
     def gradient_aggregate(self) -> int:
@@ -103,7 +106,8 @@ class TrainingConfig:
             if f.name in ("data",):
                 continue
             if hasattr(args, f.name) and getattr(args, f.name) is not None:
-                kw[f.name] = getattr(args, f.name)
+                v = getattr(args, f.name)
+                kw[f.name] = tuple(v) if f.name == "image_size" else v
         data = DataConfig(
             data_dir=getattr(args, "data_dir", None),
             img_dir=getattr(args, "img_dir", None),
@@ -123,6 +127,9 @@ def training_config_parser() -> argparse.ArgumentParser:
     p.add_argument("--ann_file", type=str, default=None)
     p.add_argument("--ann_dir", type=str, default=None)
     p.add_argument("--background_class", type=int, default=None)
+    p.add_argument("--image_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="fixed train/resize size (reference default 376 672)")
     # What to train
     p.add_argument("--train_backbone", action="store_true", default=None)
     p.add_argument("--train_transformers", action="store_true", default=None)
@@ -144,4 +151,7 @@ def training_config_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
     p.add_argument("--data_parallel", type=int, default=None)
     p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--backbone_weights", type=str, default=None,
+                   help="local torchvision resnet50/101 .pth for ImageNet "
+                        "backbone initialization")
     return p

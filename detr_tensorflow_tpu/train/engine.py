@@ -218,6 +218,30 @@ class Trainer:
         self.state, log = self.train_step(self.state, batch, self._lrs)
         return log
 
+    def prefetch(self, iterator, depth: int = 2):
+        """Move batches to device ``depth`` steps ahead of consumption.
+
+        ``device_put`` dispatches asynchronously, so the host->device
+        transfer of batch N+1 overlaps the compute of batch N instead of
+        serializing in ``step`` (the device-side analog of the
+        reference's ``prefetch(32)``, detr_tf/data/coco.py:125).
+        ``step``'s own ``shard_batch`` then sees an already-committed
+        array and is a no-op.
+        """
+        import collections
+
+        buf = collections.deque()
+        for batch in iterator:
+            if self.mesh is not None:
+                batch = mesh_lib.shard_batch(batch, self.mesh)
+            else:
+                batch = jax.device_put(batch)
+            buf.append(batch)
+            if len(buf) >= depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
     def evaluate(self, batch):
         if self.mesh is not None:
             batch = mesh_lib.shard_batch(batch, self.mesh)
@@ -238,7 +262,7 @@ def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None
     (SURVEY.md §5: crashes are fatal there)."""
     del class_names
     t0 = time.time()
-    for epoch_step, batch in enumerate(train_dataset):
+    for epoch_step, batch in enumerate(trainer.prefetch(train_dataset)):
         log = trainer.step(batch)
         if (
             checkpoint_every
@@ -248,10 +272,16 @@ def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None
             from .checkpoint import save_checkpoint
 
             save_checkpoint(trainer.state, config.checkpoint_dir)
-        if log_fn is not None:
-            log_fn({k: float(v) for k, v in log.items()}, int(trainer.state.step))
         if epoch_step % log_every == 0:
+            # Materializing floats forces a device sync — do it only on
+            # the logging cadence so steps in between stay fully async
+            # (reference logs wandb on the same cadence, training.py:49).
             log = jax.device_get(log)
+            if log_fn is not None:
+                log_fn(
+                    {k: float(v) for k, v in log.items()},
+                    int(trainer.state.step),
+                )
             elapsed = time.time() - t0
             print(
                 f"Epoch: [{epoch_nb}], \t Step: [{epoch_step}], \t "

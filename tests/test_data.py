@@ -257,3 +257,75 @@ def test_coco_loader_with_augmentation(coco_root):
     b = next(iter(ds))
     assert b["images"].shape == (2, 64, 96, 3)
     assert b["mask"].any()
+
+
+def test_host_dataset_producer_error_propagates():
+    def load(i):
+        if i == 5:
+            raise RuntimeError("decode failed")
+        return {"x": np.zeros((1,), np.float32)}
+
+    ds = HostDataset(list(range(16)), load, batch_size=2, shuffle=False,
+                     num_workers=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(ds)
+
+
+def test_worker_rng_independent_streams():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from detr_tensorflow_tpu.data.pipeline import WorkerRNG
+
+    wr = WorkerRNG(seed=7)
+
+    def draw(_):
+        import time
+
+        time.sleep(0.001)
+        return wr.get().integers(0, 2**63 - 1, size=8).tolist()
+
+    with ThreadPoolExecutor(4) as pool:
+        draws = list(pool.map(draw, range(32)))
+    # No two draw vectors identical (independent spawned streams, no
+    # duplicated state), and same-thread reuse advances the stream.
+    as_tuples = {tuple(d) for d in draws}
+    assert len(as_tuples) == len(draws)
+
+
+def test_voc_loader_original_size_buckets(voc_root):
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(voc_root), img_dir="JPEGImages",
+                        ann_dir="Annotations"),
+    )
+    ds, _ = load_voc_dataset(config, batch_size=2, augmentation=None,
+                             bucket_divisor=64, shuffle=False, num_workers=1)
+    b = next(iter(ds))  # batch>1 of same-size originals stacks fine now
+    h, w = b["images"].shape[1:3]
+    assert h % 64 == 0 and w % 64 == 0
+    assert b["pixel_mask"].shape == (2, h, w)
+    assert b["pixel_mask"][:, :80, :100].all()
+    assert not b["pixel_mask"][:, 80:, :].any()
+    # boxes rescaled from original frame to padded frame
+    assert (b["boxes"][b["mask"]] <= 80.0 / 128.0 + 1e-5).any()
+
+
+def test_make_eval_example_matches_manual(rng):
+    from detr_tensorflow_tpu.data.processing import (
+        make_eval_example,
+        normalized_images,
+    )
+
+    image = rng.integers(0, 255, size=(70, 110, 3)).astype(np.uint8)
+    t_bbox = np.array([[0.5, 0.5, 0.4, 0.6]], np.float32)
+    t_class = np.array([2], np.int32)
+    ex = make_eval_example(image, t_bbox, t_class, _Cfg(), bucket_divisor=64)
+    assert ex["images"].shape == (128, 128, 3)
+    ref = normalized_images(image, _Cfg())
+    np.testing.assert_allclose(ex["images"][:70, :110], ref, atol=1e-5)
+    np.testing.assert_allclose(ex["images"][70:], 0.0)
+    assert ex["pixel_mask"][:70, :110].all() and not ex["pixel_mask"][70:].any()
+    np.testing.assert_allclose(
+        ex["boxes"][0],
+        t_bbox[0] * np.array([110 / 128, 70 / 128, 110 / 128, 70 / 128]),
+        atol=1e-6,
+    )

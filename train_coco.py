@@ -36,16 +36,26 @@ if __name__ == "__main__":
         target_batch=32,
     ).update_from_args(args)
 
+    # Peek at the class count, then build the model BEFORE the loaders so
+    # they capture the config with the model's normalization method (the
+    # reference builds the model first for the same reason, detr.py:147).
+    # With --backbone_weights (torchvision ImageNet init) the input
+    # normalization is the torch scheme; tf_backbone only makes sense for
+    # a caffe-normalized TF-pretrained backbone.
+    from detr_tensorflow_tpu.data.coco_api import CocoIndex
+
+    coco_index = CocoIndex(config.data.full_ann_file)
+    n_class = max(coco_index.getCatIds()) + 2
+    model = get_detr_model(config, include_top=False, nb_class=n_class,
+                           tf_backbone=config.backbone_weights is None)
+    config = config.replace(normalized_method=model.normalized_method,
+                            train_nlayers=True)
+
     train_dt, class_names = load_coco_dataset(config, config.batch_size,
                                               augmentation=True)
     valid_dt, _ = load_coco_dataset(config, config.batch_size,
                                     augmentation=False, shuffle=False)
     config = config.replace(background_class=train_dt.background_class)
-
-    model = get_detr_model(config, include_top=False,
-                           nb_class=len(class_names), tf_backbone=True)
-    config = config.replace(normalized_method=model.normalized_method,
-                            train_nlayers=True)
 
     mesh = make_mesh(config.data_parallel) if config.data_parallel > 1 else None
     trainer = Trainer(model.module, model.variables, config, mesh=mesh)

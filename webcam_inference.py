@@ -24,17 +24,31 @@ from detr_tensorflow_tpu.train import TrainingConfig
 def make_run_inference(model, background_class: int):
     """Single fused jitted program: normalization + forward + postprocess.
 
-    Takes raw uint8 RGB frames — the ImageNet normalization runs on the
-    device inside the same XLA program as the model (the reference
-    normalizes on the host and runs a separate postprocess,
+    Takes raw uint8 RGB frames — the normalization (selected by the
+    model's ``normalized_method``: ImageNet for converted torch weights,
+    caffe/BGR for tf-style backbones) runs on the device inside the same
+    XLA program as the model (the reference normalizes on the host, with
+    the torch scheme hardcoded, and runs a separate postprocess,
     webcam_inference.py:11-15 / inference.py:68)."""
     import jax.numpy as jnp
 
-    from detr_tensorflow_tpu.data.processing import IMAGENET_MEAN, IMAGENET_STD
+    from detr_tensorflow_tpu.data.processing import (
+        CAFFE_MEAN,
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    method = getattr(model, "normalized_method", "torch_resnet")
 
     @jax.jit
     def run(variables, frames_u8):
-        images = (frames_u8.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        x = frames_u8.astype(jnp.float32)
+        if method == "torch_resnet":  # static: resolved at trace time
+            images = (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        elif method == "tf_resnet":
+            images = x[..., ::-1] - CAFFE_MEAN
+        else:
+            raise ValueError(f"unknown normalization method: {method}")
         outputs = model.module.apply(variables, images)
         return inference.postprocess(outputs, background_class, "xy_center")
 
