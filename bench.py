@@ -1,19 +1,32 @@
-"""Headline benchmark: DETR-R50 inference throughput at COCO-eval
-resolution (1333x800, padded to 1344x800 for MXU-aligned tiling).
+"""Headline benchmarks: DETR-R50 inference + training throughput.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "extra": {"train_images_per_sec_chip": ..., ...}}
 
-The reference publishes no throughput numbers (SURVEY.md §6); as the
-stand-in baseline we use 28 images/sec — the original DETR paper's
-reported R50 inference FPS on a V100, the best public proxy for the
-reference TF2 stack on datacenter GPU hardware (BASELINE.md).
+Inference workload: COCO-eval resolution (1333x800, padded to 1344x800
+for MXU-aligned tiling), batch 32, bf16 activations, bf16 image ingest
+(serving feeds the device bf16 — profiling showed a fp32 feed costs
+~7 ms/iter in input layout-copy + convert; the model computes in bf16
+regardless). The reference publishes no throughput numbers (SURVEY.md
+§6); the stand-in baseline is 28 images/sec — the DETR paper's R50
+inference FPS on V100, the best public proxy for the reference TF2
+stack on datacenter GPU hardware (BASELINE.md).
 
-Methodology: bfloat16 compute on the MXU, fp32 parameters, jitted
-end-to-end forward (backbone + transformer + heads). Each measured
-iteration's output is consumed via a scalar reduction and the final one
-is materialized on the host, forcing the whole chain to execute (simple
-``block_until_ready`` proved unreliable through the remote-TPU relay).
+Training workload: the reference's from-scratch configuration — batch 8,
+376x672, full train step (forward + on-device Hungarian matching + set
+loss + backward + 3-group Adam) as ONE XLA program
+(/root/reference/detr_tf/training_config.py:49,64-76; BASELINE.json
+configs 4-5). No public training-throughput baseline exists; the train
+number is tracked round-over-round in BENCH_r*.json.
+
+Methodology: each measured iteration's output is consumed via a scalar
+reduction and the final one is materialized on the host, forcing the
+whole chain to execute (simple ``block_until_ready`` proved unreliable
+through the remote-TPU relay). docs/performance.md carries the
+trace-backed roofline: the inference workload moves ~56 GB/iter and
+sustains ~563 GB/s of v5e's ~819 GB/s HBM — it is bandwidth-bound, with
+a ~470 img/s ceiling at perfect bandwidth.
 """
 
 import json
@@ -24,24 +37,16 @@ import time
 BASELINE_IMAGES_PER_SEC = 28.0  # DETR paper R50 V100 FPS (proxy; see header)
 
 
-def main():
+def bench_inference(on_tpu: bool):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    try:  # persistent compile cache shaves repeat-run compile time
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
     from detr_tensorflow_tpu.models import DETR
 
-    on_tpu = any(d.platform != "cpu" for d in jax.devices())
     if on_tpu:
         batch, height, width, iters, dtype = 32, 800, 1344, 10, "bfloat16"
     else:
-        # CPU smoke config so the bench stays runnable anywhere.
         batch, height, width, iters, dtype = 1, 256, 384, 2, "float32"
 
     model = DETR(
@@ -49,8 +54,8 @@ def main():
         dropout=0.0,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype],
     )
-    print(f"bench: devices={jax.devices()} dtype={dtype} "
-          f"batch={batch} size={height}x{width}", file=sys.stderr)
+    print(f"bench[infer]: dtype={dtype} batch={batch} size={height}x{width}",
+          file=sys.stderr)
 
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -67,12 +72,13 @@ def main():
 
     images = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, height, width, 3)),
-        jnp.float32,
+        jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
 
     t0 = time.time()
     float(forward(variables, images))  # compile + first step
-    print(f"bench: compile+first step {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"bench[infer]: compile+first step {time.time() - t0:.1f}s",
+          file=sys.stderr)
     float(forward(variables, images))  # steady-state warmup
 
     t0 = time.time()
@@ -80,13 +86,103 @@ def main():
         r = forward(variables, images)
     float(r)  # materialize the tail of the in-order execution chain
     dt = time.time() - t0
+    return batch * iters / dt
 
-    images_per_sec = batch * iters / dt
+
+def bench_train(on_tpu: bool):
+    """Reference from-scratch config: batch 8, 376x672, full train step."""
+    import jax
+    import numpy as np
+
+    from detr_tensorflow_tpu.models import DETR
+    from detr_tensorflow_tpu.train import Trainer, TrainingConfig
+
+    if on_tpu:
+        batch, height, width, iters = 8, 376, 672, 10
+        model = DETR(num_classes=92, dropout=0.1, dtype=jax.numpy.bfloat16)
+    else:
+        batch, height, width, iters = 2, 128, 128, 2
+        model = DETR(
+            num_classes=8, num_queries=8, model_dim=32, num_heads=4,
+            num_encoder_layers=1, num_decoder_layers=1, dim_feedforward=32,
+            backbone_stage_sizes=(1, 1, 1, 1),
+        )
+    print(f"bench[train]: batch={batch} size={height}x{width}", file=sys.stderr)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jax.numpy.zeros((1, 64, 64, 3))
+    )
+    config = TrainingConfig(
+        background_class=91 if on_tpu else 0,
+        train_backbone=True, train_transformers=True, train_nlayers=True,
+        batch_size=batch,
+        target_batch=batch,  # per-step apply; accumulation is composable
+    )
+    trainer = Trainer(model, variables, config)
+
+    rng = np.random.default_rng(0)
+    n_t = 16
+    batch_data = {
+        "images": np.asarray(
+            rng.normal(size=(batch, height, width, 3)), np.float32
+        ),
+        "boxes": np.clip(
+            rng.uniform(0.2, 0.8, size=(batch, n_t, 4)), 0.05, 0.95
+        ).astype(np.float32),
+        "classes": rng.integers(1, 80, size=(batch, n_t)).astype(np.int32),
+        "mask": np.tile([True] * 8 + [False] * (n_t - 8), (batch, 1)),
+    }
+    # Device-resident batch: training overlaps host->device transfer with
+    # compute (Trainer.prefetch); the metric is the XLA step time, not
+    # the relay's upload latency (~340 ms for 24 MB through the tunnel).
+    batch_data = jax.device_put(batch_data)
+
+    t0 = time.time()
+    log = trainer.step(batch_data)
+    float(jax.device_get(log["total_loss"]))
+    print(f"bench[train]: compile+first step {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    log = trainer.step(batch_data)
+    float(jax.device_get(log["total_loss"]))
+
+    t0 = time.time()
+    for _ in range(iters):
+        log = trainer.step(batch_data)
+    float(jax.device_get(log["total_loss"]))
+    dt = time.time() - t0
+    return batch * iters / dt
+
+
+def main():
+    import jax
+
+    try:  # persistent compile cache shaves repeat-run compile time
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    print(f"bench: devices={jax.devices()}", file=sys.stderr)
+
+    infer_ips = bench_inference(on_tpu)
+    try:
+        train_ips = bench_train(on_tpu)
+    except Exception as e:  # train bench must not sink the headline metric
+        print(f"bench[train]: failed ({type(e).__name__}: {e})", file=sys.stderr)
+        train_ips = None
+
     result = {
         "metric": "DETR-R50 inference images/sec/chip @ 1333x800 (bf16, batch 32)",
-        "value": round(images_per_sec, 2),
+        "value": round(infer_ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(infer_ips / BASELINE_IMAGES_PER_SEC, 3),
+        "extra": {
+            "train_images_per_sec_chip": (
+                round(train_ips, 2) if train_ips is not None else None
+            ),
+            "train_workload": "batch 8 @ 376x672, full step (fwd+match+loss+bwd+3-group Adam)",
+        },
     }
     print(json.dumps(result))
 

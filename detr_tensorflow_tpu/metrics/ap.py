@@ -141,7 +141,14 @@ class MeanAPEvaluator:
         )
         order = np.argsort(-p_scores)
 
-        for _class in set(p_labels.tolist()) | set(t_labels.tolist()):
+        # Predicted labels outside the evaluator's class range can never
+        # match ground truth (e.g. a 92-class COCO model evaluated on a
+        # smaller dataset); skip them instead of indexing out of range.
+        classes = {
+            c for c in set(p_labels.tolist()) | set(t_labels.tolist())
+            if 0 <= c < self.num_classes
+        }
+        for _class in classes:
             n_gt_class = int((t_labels == _class).sum())
             gt_candidates = np.where(t_labels == _class)[0]
             pred_candidates = [i for i in order if p_labels[i] == _class]

@@ -70,16 +70,20 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, lk, h, dh)
         v = v.reshape(b, lk, h, dh)
 
+        # The Pallas kernel covers masks and gradients (custom VJP);
+        # attention-weight dropout stays on XLA (in-kernel PRNG replay
+        # would be needed for exact backward parity).
         use_pallas = (
             self.attn_impl == "pallas"
             and not return_weights
             and (self.dropout == 0.0 or not train)
-            and key_padding_mask is None
         )
         if use_pallas:
             from ..ops.pallas import flash_attention
 
-            out = flash_attention.mha(q, k, v)  # (B, Lq, H, Dh), pre-scaled q
+            out = flash_attention.mha(
+                q, k, v, key_padding_mask=key_padding_mask
+            )  # (B, Lq, H, Dh), pre-scaled q
             attn = None
         else:
             logits = jnp.einsum(

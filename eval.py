@@ -73,10 +73,22 @@ def eval_model(model, config, class_names, valid_dt):
 
 
 if __name__ == "__main__":
-    args = training_config_parser().parse_args()
+    parser = training_config_parser()
+    parser.add_argument(
+        "--exact_shapes", action="store_true",
+        help="compile per exact image shape instead of bucket-padding — "
+             "the reference's protocol (eval.py:41-58). Bucket padding "
+             "with a pixel mask changes post-softmax scores by at most "
+             "~5e-3 (scripts/padding_error_probe.py, random weights); "
+             "use this flag when zero-delta parity is required.",
+    )
+    args = parser.parse_args()
     config = TrainingConfig().update_from_args(args)
 
     detr = build_model(config)
-    valid_dt, class_names = load_coco_dataset(config, 1, augmentation=None)
+    valid_dt, class_names = load_coco_dataset(
+        config, 1, augmentation=None,
+        bucket_divisor=1 if args.exact_shapes else 128,
+    )
     config = config.replace(background_class=valid_dt.background_class)
     eval_model(detr, config, class_names, valid_dt)
