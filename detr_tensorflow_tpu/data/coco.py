@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from . import masks as seg_masks
 from . import processing, transforms
 from .coco_api import CocoIndex
 from .pipeline import HostDataset, WorkerRNG
@@ -52,12 +53,18 @@ def _read_image(path: str) -> np.ndarray:
     return image
 
 
-def get_coco_labels(coco: CocoIndex, img_id: int, image_shape) -> Tuple[np.ndarray, np.ndarray, int]:
+def get_coco_labels(
+    coco: CocoIndex, img_id: int, image_shape, include_masks: bool = False
+):
     """Boxes (n,4) relative xcycwh, classes (n,), is_crowd flag
-    (reference coco.py:30-57)."""
+    (reference coco.py:30-57). With ``include_masks``, also rasterizes
+    the segmentation annotations to (n, H, W) uint8 — real mask ground
+    truth, which the reference never decodes (its mask AP row is a zero
+    placeholder, reference eval.py:54)."""
     anns = coco.loadAnnsForImage(img_id)
     h, w = float(image_shape[0]), float(image_shape[1])
-    bbox, cls = [], []
+    ih, iw = int(image_shape[0]), int(image_shape[1])
+    bbox, cls, mks = [], [], []
     crowd = 0
     for ann in anns:
         x, y, bw, bh = ann["bbox"]
@@ -65,11 +72,18 @@ def get_coco_labels(coco: CocoIndex, img_id: int, image_shape) -> Tuple[np.ndarr
             crowd = 1
         bbox.append([(x + bw / 2) / w, (y + bh / 2) / h, bw / w, bh / h])
         cls.append(ann["category_id"])
-    return (
+        if include_masks:
+            mks.append(seg_masks.ann_to_mask(ann, ih, iw))
+    out = (
         np.asarray(bbox, np.float32).reshape(-1, 4),
         np.asarray(cls, np.int32).reshape(-1),
         crowd,
     )
+    if include_masks:
+        return out + (
+            np.stack(mks) if mks else np.zeros((0, ih, iw), np.uint8),
+        )
+    return out
 
 
 def load_coco_dataset(
@@ -83,6 +97,7 @@ def load_coco_dataset(
     bucket_divisor: int = 128,
     num_workers: int = 8,
     seed: int = 0,
+    include_masks: bool = False,
 ):
     """Build (dataset, class_names).
 
@@ -91,6 +106,10 @@ def load_coco_dataset(
       * False — resize only;
       * None  — original size (evaluation), bucket-padded with a pixel
         mask so XLA compiles a bounded set of shapes.
+
+    include_masks adds rasterized instance masks to each example as
+    ``t_masks`` (T, H/4, W/4) uint8 — slotted like boxes, at the mask
+    head's stride-4 output resolution (models/segmentation.py).
     """
     del ann_dir
     ann_file = ann_file or config.data.full_ann_file
@@ -110,24 +129,39 @@ def load_coco_dataset(
     def load_example(img_id):
         img = coco.loadImgs([img_id])[0]
         image = _read_image(os.path.join(img_dir, img["file_name"]))
-        t_bbox, t_class, is_crowd = get_coco_labels(coco, img["id"], image.shape)
+        labels = get_coco_labels(
+            coco, img["id"], image.shape, include_masks=include_masks
+        )
+        t_bbox, t_class, is_crowd = labels[:3]
+        inst_masks = labels[3] if include_masks else None
         if is_crowd or len(t_bbox) == 0:
             return None  # reference filter, coco.py:118
+        max_t = getattr(config, "num_queries", processing.MAX_TARGETS)
         if augmentation is not None:
-            image, t_bbox, t_class = transforms.detr_transform(
-                image, t_bbox, t_class, config, augmentation, rng=worker_rng.get()
+            transformed = transforms.detr_transform(
+                image, t_bbox, t_class, config, augmentation,
+                rng=worker_rng.get(), masks=inst_masks,
             )
+            image, t_bbox, t_class = transformed[:3]
             if len(t_bbox) == 0:
                 return None
             image = processing.normalized_images(image, config)
-            boxes, classes, mask = processing.pad_targets(t_bbox, t_class, max_targets=getattr(config, 'num_queries', processing.MAX_TARGETS))
-            return {
+            boxes, classes, mask = processing.pad_targets(
+                t_bbox, t_class, max_targets=max_t
+            )
+            example = {
                 "images": image.astype(np.float32),
                 "boxes": boxes, "classes": classes, "mask": mask,
             }
+            if include_masks:
+                example["t_masks"] = seg_masks.pad_instance_masks(
+                    transformed[3], max_t
+                )
+            return example
         # Original-size eval: bucket-pad + pixel mask (shared helper).
         return processing.make_eval_example(
-            image, t_bbox, t_class, config, bucket_divisor
+            image, t_bbox, t_class, config, bucket_divisor,
+            inst_masks=inst_masks,
         )
 
     ids = coco.getImgIds()

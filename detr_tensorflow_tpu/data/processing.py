@@ -137,6 +137,7 @@ def make_eval_example(
     t_class: np.ndarray,
     config,
     bucket_divisor: int = 128,
+    inst_masks: np.ndarray = None,
 ):
     """Original-size evaluation example: bucket-pad + pixel mask + box
     rescale, in one dict ready for ``stack_batch``.
@@ -165,21 +166,43 @@ def make_eval_example(
         padded, _, _ = pad_image_to_bucket(normalized, bucket_divisor)
     pixel_mask = np.zeros((ph, pw), bool)
     pixel_mask[:h, :w] = True
-    # Normalized boxes were relative to (h, w); after padding the frame is
-    # (ph, pw), so rescale. IoU is invariant (predictions scale the same).
-    scale = np.array([w / pw, h / ph] * 2, np.float32)
+    # Ground truth stays in ORIGINAL-frame normalized coordinates. The
+    # network is exactly padding-invariant under a pixel mask (masked
+    # attention, mask-aware sine positions, per-conv validity masking —
+    # tests/test_segmentation.py::test_bucket_padding_exactness_boxes),
+    # so its padded+mask forward equals the unpadded forward and its
+    # predicted boxes are normalized to the valid (original) frame —
+    # exactly like DETR weights trained with NestedTensor masks.
+    # Rescaling GT to the padded frame would shift every IoU.
     boxes, classes, mask = pad_targets(
-        t_bbox * scale,
+        t_bbox,
         t_class,
         max_targets=getattr(config, "num_queries", MAX_TARGETS),
     )
-    return {
+    example = {
         "images": padded.astype(np.float32),
         "pixel_mask": pixel_mask,
         "boxes": boxes,
         "classes": classes,
         "mask": mask,
     }
+    if inst_masks is not None:
+        # Instance masks padded into the same bucket frame, stored at
+        # the mask head's stride-4 output resolution so prediction and
+        # target live on the identical lattice (no resampling at eval).
+        from .masks import pad_instance_masks
+
+        n = len(inst_masks)
+        bucketed = np.zeros((max(n, 1), ph, pw), np.uint8)
+        if n:
+            bucketed[:, :h, :w] = inst_masks
+        example["t_masks"] = pad_instance_masks(
+            bucketed,
+            getattr(config, "num_queries", MAX_TARGETS),
+        )
+        if n == 0:
+            example["t_masks"][:] = 0
+    return example
 
 
 def unpack_labels(t_bbox, t_class):

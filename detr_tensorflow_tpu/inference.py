@@ -52,6 +52,34 @@ def postprocess(
     return out_boxes, labels, scores, keep
 
 
+def postprocess_masks(
+    m_outputs: Dict[str, Array],
+    out_size: Tuple[int, int] = None,
+    threshold: float = 0.5,
+) -> Array:
+    """Binary instance masks from the segmentation head's logits.
+
+    Args:
+      m_outputs: model outputs containing 'pred_masks' (B, Q, Hm, Wm)
+        logits at stride 4 (models/segmentation.py).
+      out_size: optional (H, W) to bilinearly upsample the probabilities
+        to (e.g. the padded input resolution) before thresholding.
+      threshold: probability cutoff.
+
+    Returns (B, Q, H, W) bool. Jittable for fixed out_size. The
+    reference has no equivalent — its mask outputs are zero placeholders
+    (reference eval.py:54).
+    """
+    logits = m_outputs["pred_masks"].astype(jnp.float32)
+    probs = jax.nn.sigmoid(logits)
+    if out_size is not None and tuple(out_size) != logits.shape[2:]:
+        b, q = probs.shape[:2]
+        probs = jax.image.resize(
+            probs, (b, q) + tuple(out_size), method="bilinear"
+        )
+    return probs > threshold
+
+
 def get_model_inference(
     m_outputs: Dict[str, Array], background_class: int, bbox_format: str = "xy_center"
 ):

@@ -134,7 +134,13 @@ def build_detr(
         )
         loaded = jax.tree.map(jnp.asarray, loaded)
         if head == "detr":
-            variables = loaded
+            # Merge: converted checkpoints cover the detection model; any
+            # module the checkpoint lacks (e.g. the segmentation head,
+            # which no public DETR-R50 detection checkpoint carries)
+            # keeps its fresh initialization.
+            params = dict(variables["params"])
+            params.update(loaded["params"])
+            variables = {"params": params, "frozen": loaded["frozen"]}
         else:
             # Keep pretrained trunk, fresh heads (reference
             # include_top=False + load_weights path, detr.py:137-179).
@@ -197,6 +203,10 @@ def get_detr_model(
     kwargs.setdefault(
         "backbone_weights", getattr(config, "backbone_weights", None)
     )
+    # Model family from config: DETR-R101 / DC5 eval and training
+    # protocols (the reference hardcodes R50, detr.py:31).
+    kwargs.setdefault("backbone_depth", getattr(config, "backbone_depth", 50))
+    kwargs.setdefault("dilation", getattr(config, "dilation", False))
     return build_detr(
         head=head,
         nb_class=nb_class,

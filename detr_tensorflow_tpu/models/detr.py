@@ -60,6 +60,8 @@ class DETR(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False  # rematerialize transformer layers (memory saver)
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
+    masks: bool = False  # instance-segmentation head (beyond the
+    # reference, whose mask AP row is a zero placeholder — eval.py:54)
 
     @nn.compact
     def __call__(self, images, pixel_mask=None, train=False):
@@ -72,24 +74,28 @@ class DETR(nn.Module):
         stage_sizes = self.backbone_stage_sizes or {
             50: (3, 4, 6, 3), 101: (3, 4, 23, 3)
         }[self.backbone_depth]
-        feats = ResNetBackbone(
+        backbone_out = ResNetBackbone(
             stage_sizes=stage_sizes,
             replace_stride_with_dilation=(False, False, self.dilation),
             dtype=self.dtype,
             fuse_residual=self.fuse_residual,
+            return_interm=self.masks,
             name="backbone",
-        )(images.astype(self.dtype))
+        )(images.astype(self.dtype), pixel_mask=pixel_mask)
+        feats, fpn_feats = backbone_out if self.masks else (backbone_out, None)
         b, fh, fw, _ = feats.shape
 
         if pixel_mask is None:
             valid = jnp.ones((b, fh, fw), jnp.float32)
             key_padding_mask = None
         else:
-            # Nearest-neighbor downsample of the validity mask to the
-            # feature resolution (reference detr.py:57-63).
-            valid = jax.image.resize(
-                pixel_mask.astype(jnp.float32), (b, fh, fw), method="nearest"
-            )
+            # Validity at the feature resolution by exact conv arithmetic
+            # (layers.feature_valid_mask) — the role the reference fills
+            # with a nearest-neighbor mask downsample (detr.py:57-63),
+            # which misses the last valid cell for odd extents.
+            from .layers import feature_valid_mask
+
+            valid = feature_valid_mask(pixel_mask, fh, fw, dtype=jnp.float32)
             key_padding_mask = (valid < 0.5).reshape(b, fh * fw)
 
         pos = sine_position_embedding(
@@ -123,8 +129,34 @@ class DETR(nn.Module):
             name="transformer",
         )(src, pos, query_embed, key_padding_mask=key_padding_mask, train=train)
 
+        pred_masks = None
+        if self.masks:
+            from .segmentation import MHAttentionMap, MaskHead
+
+            attn_maps = MHAttentionMap(
+                model_dim=self.model_dim,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name="bbox_attention",
+            )(
+                hs[-1],
+                memory.reshape(b, fh, fw, self.model_dim),
+                key_padding_mask=key_padding_mask,
+                train=train,
+            )
+            pred_masks = MaskHead(
+                model_dim=self.model_dim,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                name="mask_head",
+            )(proj, attn_maps, fpn_feats, pixel_mask=pixel_mask)
+
         if self.head == "none":
-            return {"hs": hs, "memory": memory.reshape(b, fh, fw, self.model_dim)}
+            out = {"hs": hs, "memory": memory.reshape(b, fh, fw, self.model_dim)}
+            if pred_masks is not None:
+                out["pred_masks"] = pred_masks
+            return out
 
         if self.head == "detr":
             logits = nn.Dense(
@@ -146,12 +178,15 @@ class DETR(nn.Module):
 
         logits = logits.astype(jnp.float32)
         boxes = boxes.astype(jnp.float32)
-        return {
+        out = {
             "pred_logits": logits[-1],
             "pred_boxes": boxes[-1],
             "aux_logits": logits[:-1],
             "aux_boxes": boxes[:-1],
         }
+        if pred_masks is not None:
+            out["pred_masks"] = pred_masks
+        return out
 
 
 def as_aux_list(outputs):

@@ -55,6 +55,52 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
 
 
+def feature_valid_mask(
+    pixel_mask: jnp.ndarray, h: int, w: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Validity mask at a feature resolution, by exact conv arithmetic.
+
+    The valid region is a top-left rectangle (bucket padding pads bottom/
+    right). Every spatial downsample in the ResNet (stem conv, maxpool,
+    strided 3x3s) maps a valid extent of n cells to ``(n - 1) // 2 + 1``
+    (= ceil(n/2)) valid output cells — one *more* than a nearest-resized
+    pixel mask marks for odd n, and zeroing that genuinely-valid cell is
+    exactly the one-cell boundary error a resized mask introduces.
+    Computing the chain on the actual valid extents makes padded and
+    unpadded forwards agree for arbitrary image sizes, not just
+    stride-aligned ones.
+
+    Args:
+      pixel_mask: (B, H, W) bool/float, True on the valid rectangle.
+      h, w: target feature resolution; must lie on the ceil-halving
+        chain of (H, W) (the backbone's downsample chain).
+
+    Returns (B, h, w) ``dtype`` mask.
+    """
+    b, ph, pw = pixel_mask.shape
+    if h == ph and w == pw:
+        return pixel_mask.astype(dtype)
+    levels = None
+    hh, ww = ph, pw
+    for k in range(1, 8):
+        hh = (hh - 1) // 2 + 1
+        ww = (ww - 1) // 2 + 1
+        if (hh, ww) == (h, w):
+            levels = k
+            break
+    assert levels is not None, (
+        f"({h}, {w}) is not on the ceil-halving chain of ({ph}, {pw})"
+    )
+    vh = jnp.sum(pixel_mask[:, :, 0].astype(jnp.int32), axis=1)  # (B,)
+    vw = jnp.sum(pixel_mask[:, 0, :].astype(jnp.int32), axis=1)
+    for _ in range(levels):
+        vh = (vh - 1) // 2 + 1
+        vw = (vw - 1) // 2 + 1
+    rows = jnp.arange(h, dtype=jnp.int32)[None, :] < vh[:, None]  # (B, h)
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :] < vw[:, None]  # (B, w)
+    return (rows[:, :, None] & cols[:, None, :]).astype(dtype)
+
+
 class MLP(nn.Module):
     """3-layer box head: Dense-relu x2 then Dense-sigmoid to 4 coords
     (reference detr.py:49-54, :75-79)."""

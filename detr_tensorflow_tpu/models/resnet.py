@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import FrozenBatchNorm
+from .layers import FrozenBatchNorm, feature_valid_mask
 
 Dtype = Any
 
@@ -111,7 +111,9 @@ class Bottleneck(nn.Module):
     fuse_residual: bool = False  # Pallas fused conv3+bn3+add+relu tail
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, valid: jnp.ndarray = None
+    ) -> jnp.ndarray:
         conv = lambda f, k, s, d, name, pad: nn.Conv(  # noqa: E731
             f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding=pad,
             use_bias=False, dtype=self.dtype, name=name,
@@ -120,6 +122,14 @@ class Bottleneck(nn.Module):
         out = conv(self.dim1, 1, 1, 1, "conv1", "VALID")(x)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
+        if valid is not None:
+            # Bucket-padding exactness: the only spatial (halo-carrying)
+            # conv in the block is conv2 — zeroing its input at padded
+            # positions makes the halo read exactly the zeros an
+            # unpadded SAME-convolution would, so valid-region outputs
+            # are identical to an unpadded forward. (FrozenBN maps the
+            # padded zeros to a nonzero constant otherwise.)
+            out = out * valid[..., None].astype(out.dtype)
         d = self.dilation
         out = conv(self.dim1, 3, self.strides, d, "conv2", [(d, d), (d, d)])(out)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn2")(out)
@@ -163,43 +173,82 @@ class ResNetStage(nn.Module):
     fuse_residual: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, pixel_mask: jnp.ndarray = None
+    ) -> jnp.ndarray:
+        def valid_at(h, w):
+            # Exact conv-arithmetic validity at a feature resolution
+            # (layers.feature_valid_mask). Identical computations across
+            # blocks/stages are CSE'd by XLA into one.
+            if pixel_mask is None:
+                return None
+            return feature_valid_mask(pixel_mask, h, w, dtype=self.dtype)
+
         strides, dilation = (1, 2) if self.dilate else (self.strides, 1)
         x = Bottleneck(
             self.dim1, self.dim2, strides=strides, downsample=True,
             dtype=self.dtype, fuse_residual=self.fuse_residual, name="block_0",
-        )(x)
+        )(x, valid=valid_at(*x.shape[1:3]))
+        v = valid_at(*x.shape[1:3])
         for i in range(1, self.num_blocks):
             x = Bottleneck(
                 self.dim1, self.dim2, dilation=dilation, dtype=self.dtype,
                 fuse_residual=self.fuse_residual, name=f"block_{i}",
-            )(x)
+            )(x, valid=v)
         return x
 
 
 class ResNetBackbone(nn.Module):
-    """ResNet feature extractor: NHWC in, (B, H/32, W/32, 2048) out."""
+    """ResNet feature extractor: NHWC in, (B, H/32, W/32, 2048) out.
+
+    With ``return_interm=True`` the call returns ``(c5, {"c2": ..,
+    "c3": .., "c4": ..})`` — the stride-4/8/16 stage outputs the FPN-style
+    segmentation head fuses (a capability beyond the reference, whose
+    backbone exposes only the final map, resnet_backbone.py:20-32).
+    """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
     dtype: Dtype = jnp.float32
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
+    return_interm: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, pixel_mask: jnp.ndarray = None):
+        """pixel_mask (B, H, W) bool, True = valid: when supplied (bucket-
+        padded evaluation/serving) every spatial conv's input is zeroed at
+        padded positions, making valid-region features *identical* to an
+        unpadded forward on divisor-aligned buckets — the TPU-native exact
+        replacement for the reference's per-shape eager retrace
+        (reference eval.py:41-58). The stem needs no masking: the image
+        itself is zero-padded, matching SAME-padding semantics."""
         x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
+        if pixel_mask is not None:
+            # Zero the FrozenBN constant beyond the valid extent so the
+            # maxpool's straddling windows see 0 — since all activations
+            # are post-relu (>= 0), max with an extra 0 equals the
+            # unpadded SAME maxpool (which pads with -inf).
+            v = feature_valid_mask(
+                pixel_mask, x.shape[1], x.shape[2], dtype=self.dtype
+            )
+            x = x * v[..., None]
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         dims = [(64, 256), (128, 512), (256, 1024), (512, 2048)]
         dilate = (False,) + tuple(self.replace_stride_with_dilation)
+        interm = {}
         for s, (n_blocks, (d1, d2)) in enumerate(zip(self.stage_sizes, dims)):
             x = ResNetStage(
                 n_blocks, d1, d2, strides=1 if s == 0 else 2, dilate=dilate[s],
                 dtype=self.dtype, fuse_residual=self.fuse_residual,
                 name=f"layer{s + 1}",
-            )(x)
+            )(x, pixel_mask=pixel_mask)
+            if self.return_interm and s < 3:
+                interm[f"c{s + 2}"] = x
+        if self.return_interm:
+            return x, interm
         return x
 
 

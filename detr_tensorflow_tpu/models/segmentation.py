@@ -1,0 +1,220 @@
+"""Instance-segmentation head for DETR (panoptic-style mask head).
+
+The reference does NOT implement masks — its evaluator's mask row is a
+zero placeholder fed by ``np.zeros`` (reference eval.py:54,
+README.md:88).  This module completes that gap with the DETR-paper mask
+head: per-query multi-head attention maps over the encoder memory,
+fused with FPN features from the ResNet stages through a small conv
+trunk, producing one mask logit map per query.
+
+TPU-native design notes:
+  * everything is batch-first NHWC; the per-query trunk runs with the
+    (batch, query) axes merged so XLA sees one big conv batch;
+  * the first trunk conv over ``concat(projected_features, attention
+    maps)`` is split into two convolutions (conv is linear in channels:
+    ``conv([a; b]) = conv_a(a) + conv_b(b)``) so the query-independent
+    feature contribution is computed once per image and broadcast —
+    the (B, Q, H, W, D+heads) concat is never materialized in HBM;
+  * FPN adapters are applied once per image and broadcast over queries;
+  * upsampling targets the actual stage shapes (handles odd sizes and
+    DC5 dilation where stride-16/32 maps coincide).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+_NEG_INF = -1e9
+
+
+class MHAttentionMap(nn.Module):
+    """Per-query multi-head attention score maps over the memory.
+
+    A 2-D attention map per (query, head) — the softmaxed QK^T scores
+    only, no value contraction. Output (B, Q, heads, Hf, Wf), fp32.
+    """
+
+    model_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        queries: jnp.ndarray,  # (B, Q, D) final decoder layer
+        memory: jnp.ndarray,  # (B, Hf, Wf, D) encoder output
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Hf*Wf) True=pad
+        train: bool = False,
+    ) -> jnp.ndarray:
+        d, h = self.model_dim, self.num_heads
+        dh = d // h
+        b, nq = queries.shape[0], queries.shape[1]
+        fh, fw = memory.shape[1], memory.shape[2]
+
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(queries)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(memory)
+        q = q.reshape(b, nq, h, dh) * jnp.asarray(dh**-0.5, self.dtype)
+        k = k.reshape(b, fh * fw, h, dh)
+
+        logits = jnp.einsum(
+            "bqhd,bshd->bqhs", q, k, preferred_element_type=jnp.float32
+        )  # (B, Q, heads, S)
+        if key_padding_mask is not None:
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], _NEG_INF, logits
+            )
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        return attn.reshape(b, nq, h, fh, fw)
+
+
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm whose statistics are computed over *valid* spatial
+    positions only.
+
+    Plain GroupNorm over a bucket-padded image would fold the zero-padded
+    region into every group's mean/variance, making predictions in the
+    valid region depend on how much padding the bucket added. With a
+    validity mask the statistics match an unpadded forward exactly.
+    Parameter layout (``scale``/``bias``) is identical to
+    ``nn.GroupNorm``. ``valid=None`` reduces to standard GroupNorm.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        xg = x.astype(jnp.float32).reshape(n, h, w, g, c // g)
+        if valid is None:
+            mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+            var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+        else:
+            m = valid.astype(jnp.float32).reshape(n, h, w, 1, 1)
+            count = jnp.maximum(m.sum(axis=(1, 2, 4), keepdims=True), 1.0) * (
+                c // g
+            )
+            mean = (xg * m).sum(axis=(1, 2, 4), keepdims=True) / count
+            var = (((xg - mean) * m) ** 2).sum(
+                axis=(1, 2, 4), keepdims=True
+            ) / count
+        out = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = out.reshape(n, h, w, c) * scale + bias
+        return out.astype(self.dtype)
+
+
+class MaskHead(nn.Module):
+    """FPN-style conv trunk: (attention maps + projected features) fused
+    with the stride-16/8/4 backbone stages, one mask logit map per query.
+
+    Output (B, Q, H4, W4) fp32 logits, where (H4, W4) is the stride-4
+    (c2) resolution. With ``pixel_mask`` the trunk activations are zeroed
+    outside the valid region at every stage and all GroupNorm statistics
+    are masked, so bucket padding cannot perturb valid-region masks
+    (conv halos at the valid boundary aside).
+    """
+
+    model_dim: int = 256
+    num_heads: int = 8
+    trunk_dims: Sequence[int] = (128, 64, 32, 16)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        proj_feats: jnp.ndarray,  # (B, Hf, Wf, D) input_proj output
+        attn_maps: jnp.ndarray,  # (B, Q, heads, Hf, Wf) fp32
+        fpn: Dict[str, jnp.ndarray],  # {"c4": stride16, "c3": s8, "c2": s4}
+        pixel_mask: Optional[jnp.ndarray] = None,  # (B, H, W) bool, True=valid
+    ) -> jnp.ndarray:
+        dims = tuple(self.trunk_dims)
+        b, nq = attn_maps.shape[0], attn_maps.shape[1]
+        fh, fw = proj_feats.shape[1], proj_feats.shape[2]
+
+        def stage_valid(sh, sw):
+            if pixel_mask is None:
+                return None
+            from .layers import feature_valid_mask
+
+            return feature_valid_mask(pixel_mask, sh, sw, dtype=jnp.float32)
+
+        def apply_gn(i, x, valid):
+            # valid per image (B, sh, sw) -> per (image, query) rows
+            v = None
+            if valid is not None:
+                sh, sw = x.shape[1], x.shape[2]
+                v = jnp.broadcast_to(
+                    valid[:, None], (b, nq, sh, sw)
+                ).reshape(b * nq, sh, sw)
+                x = x * v[..., None].astype(x.dtype)
+            x = nn.relu(
+                MaskedGroupNorm(
+                    num_groups=8, dtype=self.dtype, name=f"gn{i}"
+                )(x, valid=v)
+            )
+            if v is not None:
+                # Re-zero: the GN affine + relu maps the zeroed padded
+                # positions to a nonzero constant, which the next conv's
+                # halo would read.
+                x = x * v[..., None].astype(x.dtype)
+            return x
+
+        conv = lambda f, name: nn.Conv(  # noqa: E731
+            f, (3, 3), padding="SAME", dtype=self.dtype, name=name
+        )
+
+        # conv0 over concat(features, attention) split into two convs —
+        # the feature half is query-independent, computed once per image
+        # and broadcast over queries (conv is linear in input channels:
+        # conv([a; b]) == conv_a(a) + conv_b(b)).
+        # Every 3x3-conv input is zeroed at padded positions first, so a
+        # conv halo at the valid boundary sees exactly the zeros an
+        # unpadded SAME-convolution would (bucket-padding exactness).
+        v0 = stage_valid(fh, fw)
+        if v0 is not None:
+            proj_feats = proj_feats * v0[..., None].astype(proj_feats.dtype)
+        mem_part = conv(dims[0], "conv0_feats")(proj_feats)  # (B,Hf,Wf,C0)
+        attn_nhwc = attn_maps.transpose(0, 1, 3, 4, 2).reshape(
+            b * nq, fh, fw, self.num_heads
+        )
+        attn_part = conv(dims[0], "conv0_attn")(attn_nhwc.astype(self.dtype))
+        x = attn_part.reshape(b, nq, fh, fw, dims[0]) + mem_part[:, None]
+        x = apply_gn(0, x.reshape(b * nq, fh, fw, dims[0]), stage_valid(fh, fw))
+
+        for i, (stage, dim) in enumerate(
+            zip(("c4", "c3", "c2"), dims[1:]), start=1
+        ):
+            feat = fpn[stage]
+            sh, sw = feat.shape[1], feat.shape[2]
+            cur = x.shape[-1]
+            adapter = nn.Conv(
+                cur, (1, 1), dtype=self.dtype, name=f"adapter_{stage}"
+            )(feat)  # (B, sh, sw, cur), per image
+            x = jax.image.resize(
+                x, (b * nq, sh, sw, cur), method="nearest"
+            )
+            vs = stage_valid(sh, sw)
+            if vs is not None:
+                adapter = adapter * vs[..., None].astype(adapter.dtype)
+            x = x.reshape(b, nq, sh, sw, cur) + adapter[:, None]
+            x = conv(dim, f"conv{i}")(x.reshape(b * nq, sh, sw, cur))
+            x = apply_gn(i, x, vs)
+
+        out = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="out")(x)
+        h4, w4 = out.shape[1], out.shape[2]
+        return out.reshape(b, nq, h4, w4).astype(jnp.float32)

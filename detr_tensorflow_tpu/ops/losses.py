@@ -30,7 +30,16 @@ from .matcher import hungarian_match
 
 Array = jnp.ndarray
 
-LOSS_WEIGHTS = {"label_cost": 1.0, "giou_loss": 2.0, "l1_loss": 5.0}
+LOSS_WEIGHTS = {
+    "label_cost": 1.0,
+    "giou_loss": 2.0,
+    "l1_loss": 5.0,
+    # Instance-mask losses (the reference has no mask training at all —
+    # its mask AP row is a zero placeholder). Coefficients follow the
+    # DETR-paper panoptic recipe: focal 1.0, dice 1.0.
+    "mask_loss": 1.0,
+    "dice_loss": 1.0,
+}
 
 
 def _softmax_ce(logits: Array, labels: Array) -> Array:
@@ -41,6 +50,68 @@ def _softmax_ce(logits: Array, labels: Array) -> Array:
     return lse - picked
 
 
+def sigmoid_focal_loss(
+    logits: Array, targets: Array, alpha: float = 0.25, gamma: float = 2.0
+) -> Array:
+    """Per-element sigmoid focal loss (RetinaNet form, as used by the
+    DETR-paper mask head). ``targets`` in {0, 1}."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets)
+    p_t = p * targets + (1.0 - p) * (1.0 - targets)
+    loss = ce * (1.0 - p_t) ** gamma
+    alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+    return alpha_t * loss
+
+
+def optax_sigmoid_ce(logits: Array, labels: Array) -> Array:
+    """Numerically-stable elementwise sigmoid cross-entropy."""
+    return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def mask_losses(
+    p_masks: Array,  # (B, Q, Hm, Wm) logits
+    t_masks: Array,  # (B, T, Ht, Wt) binary target masks
+    t_of_p: Array,  # (B, Q) matched target slot per query (or -1)
+    matched: Array,  # (B, Q) bool
+) -> Dict[str, Array]:
+    """Focal + dice losses over matched (query, target-mask) pairs.
+
+    Target masks are resized on device to the prediction resolution
+    (nearest), so the host pipeline can carry masks at any convenient
+    scale. Normalized by the batch-global matched count, matching the
+    box-loss normalization convention.
+    """
+    b, q, hm, wm = p_masks.shape
+    t = t_masks.shape[1]
+    t_masks = t_masks.astype(jnp.float32)
+    if t_masks.shape[2:] != (hm, wm):
+        t_masks = jax.image.resize(t_masks, (b, t, hm, wm), method="nearest")
+
+    safe_idx = jnp.clip(t_of_p, 0, t - 1)
+    gathered = jnp.take_along_axis(
+        t_masks, safe_idx[..., None, None], axis=1
+    )  # (B, Q, Hm, Wm)
+
+    n_matched = jnp.maximum(jnp.sum(matched), 1)
+    w = matched.astype(jnp.float32)  # (B, Q)
+
+    focal = sigmoid_focal_loss(p_masks, gathered).mean(axis=(-2, -1))  # (B, Q)
+    mask_loss = jnp.sum(focal * w) / n_matched
+
+    probs = jax.nn.sigmoid(p_masks.astype(jnp.float32)).reshape(b, q, -1)
+    flat_t = gathered.reshape(b, q, -1)
+    num = 2.0 * jnp.sum(probs * flat_t, axis=-1)
+    den = jnp.sum(probs, axis=-1) + jnp.sum(flat_t, axis=-1)
+    dice = 1.0 - (num + 1.0) / (den + 1.0)  # (B, Q)
+    dice_loss = jnp.sum(dice * w) / n_matched
+
+    return {"mask_loss": mask_loss, "dice_loss": dice_loss}
+
+
 def single_layer_loss(
     p_logits: Array,
     p_boxes: Array,
@@ -49,6 +120,8 @@ def single_layer_loss(
     t_mask: Array,
     background_class: int,
     eos_weight: float = 0.1,
+    p_masks: Array = None,
+    t_masks: Array = None,
 ) -> Dict[str, Array]:
     """Set loss for one decoder layer over a batch.
 
@@ -95,7 +168,7 @@ def single_layer_loss(
     giou_per = boxes.elementwise_giou(p_xy, t_xy)  # (B, Q)
     giou_loss = jnp.sum(jnp.where(matched, 1.0 - giou_per, 0.0)) / n_matched
 
-    return {
+    out = {
         "label_cost": label_cost,
         "giou_loss": giou_loss,
         "l1_loss": l1_loss,
@@ -103,6 +176,9 @@ def single_layer_loss(
         "true_pos": true_pos,
         "pos_accuracy": pos_accuracy,
     }
+    if p_masks is not None and t_masks is not None:
+        out.update(mask_losses(p_masks, t_masks, t_of_p, matched))
+    return out
 
 
 def total_from_log(log: Dict[str, Array]) -> Array:
@@ -122,6 +198,7 @@ def detr_loss(
     t_class: Array,
     t_mask: Array,
     background_class: int,
+    t_masks: Array = None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Full DETR training loss: final layer + auxiliary decoder layers.
 
@@ -142,6 +219,10 @@ def detr_loss(
     log = single_layer_loss(
         outputs["pred_logits"], outputs["pred_boxes"], t_bbox, t_class, t_mask,
         background_class,
+        # Mask losses apply to the final decoder layer only — the mask
+        # head consumes hs[-1] (models/detr.py), like the DETR paper.
+        p_masks=outputs.get("pred_masks"),
+        t_masks=t_masks,
     )
 
     if "aux_logits" in outputs and outputs["aux_logits"] is not None:

@@ -79,6 +79,10 @@ class TrainingConfig:
     # Pipeline
     normalized_method: str = "torch_resnet"
 
+    # Model family (DETR-R50 default; R101 and DC5 protocols supported)
+    backbone_depth: int = 50  # 50 | 101
+    dilation: bool = False  # DC5: stride-16 C5 via dilated convs
+
     # TPU-native knobs
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
     attn_impl: str = "xla"  # "pallas" to use the flash-attention kernel
@@ -149,6 +153,10 @@ def training_config_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
+    p.add_argument("--backbone_depth", type=int, default=None, choices=[50, 101],
+                   help="ResNet depth: DETR-R50 (default) or DETR-R101")
+    p.add_argument("--dilation", action="store_true", default=None,
+                   help="DC5 variant: dilated stride-16 final stage")
     p.add_argument("--data_parallel", type=int, default=None)
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--backbone_weights", type=str, default=None,

@@ -92,7 +92,7 @@ def make_train_step(
             )
             total, log = detr_loss(
                 out, batch["boxes"], batch["classes"], batch["mask"],
-                background_class,
+                background_class, t_masks=batch.get("t_masks"),
             )
             return total, log
 
@@ -140,7 +140,8 @@ def make_eval_step(model, config, mesh=None) -> Callable:
             train=False,
         )
         total, log = detr_loss(
-            out, batch["boxes"], batch["classes"], batch["mask"], background_class
+            out, batch["boxes"], batch["classes"], batch["mask"],
+            background_class, t_masks=batch.get("t_masks"),
         )
         log = dict(log)
         log["total_loss"] = total

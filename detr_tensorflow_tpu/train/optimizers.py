@@ -37,7 +37,10 @@ GROUPS = ("backbone", "transformers", "nlayers")
 # docstring; matches reference optimizers.py:29-41 which excludes only the
 # transformer from the detr submodel).
 _BACKBONE_TOPLEVEL = {"backbone", "input_proj", "query_embed"}
-_NLAYERS_TOPLEVEL = {"cls_layer", "pos_layer"}
+# Fresh heads: finetuning class/box heads, plus the segmentation head
+# (trained with the detector frozen per the DETR panoptic recipe — run
+# with train_nlayers only).
+_NLAYERS_TOPLEVEL = {"cls_layer", "pos_layer", "mask_head", "bbox_attention"}
 
 
 def param_labels(params: Dict[str, Any]) -> Dict[str, Any]:

@@ -2,12 +2,14 @@
 
 Workflow parity with the reference ``eval.py``: pretrained model with
 its published heads, batch-1 original-size evaluation (augmentation
-None), yxyx boxes, zero masks, ASCII AP table — target box AP 36.53
-(reference README.md:85-89, BASELINE.md).
+None), yxyx boxes, ASCII AP table — target box AP 36.53 (reference
+README.md:85-89, BASELINE.md).
 
 TPU-native differences: images are bucket-padded to static shapes with a
 pixel mask (bounded compile count instead of per-shape retraces), the
 forward is jitted, and the AP bookkeeping is the vectorized evaluator.
+With ``--masks`` the instance-segmentation head runs too and the mask AP
+row is real (the reference's is a zero placeholder, eval.py:54).
 
 Usage:
   python eval.py --data_dir /path/coco --img_dir val2017 \
@@ -24,35 +26,49 @@ from detr_tensorflow_tpu.ops import boxes as bbox_ops
 from detr_tensorflow_tpu.train import TrainingConfig, training_config_parser
 
 
-def build_model(config):
+def build_model(config, masks: bool = False):
     """Pretrained DETR-R50 with its COCO heads (reference eval.py:20-27)."""
-    return get_detr_model(config, include_top=True, weights="detr")
+    return get_detr_model(config, include_top=True, weights="detr", masks=masks)
 
 
 def eval_model(model, config, class_names, valid_dt):
     import jax
+    import jax.numpy as jnp
 
     background = int(config.background_class)
+
+    def _post(outputs, pixel_mask):
+        post = inference.postprocess(outputs, background, "yxyx")
+        if "pred_masks" not in outputs:
+            return post, None
+        probs = jax.nn.sigmoid(outputs["pred_masks"].astype(jnp.float32))
+        if pixel_mask is not None:
+            from detr_tensorflow_tpu.models.layers import feature_valid_mask
+
+            _, _, h4, w4 = probs.shape
+            valid4 = feature_valid_mask(pixel_mask, h4, w4)
+            probs = probs * valid4[:, None]
+        return post, probs > 0.5
 
     # One fused XLA program per bucket shape: forward + postprocess.
     @jax.jit
     def run(variables, images, pixel_mask):
         outputs = model.module.apply(variables, images, pixel_mask=pixel_mask)
-        return inference.postprocess(outputs, background, "yxyx")
+        return _post(outputs, pixel_mask)
 
     @jax.jit
     def run_nomask(variables, images):
         outputs = model.module.apply(variables, images)
-        return inference.postprocess(outputs, background, "yxyx")
+        return _post(outputs, None)
 
     evaluator = MeanAPEvaluator(num_classes=len(class_names), class_names=class_names)
     for it, batch in enumerate(valid_dt):
         if "pixel_mask" in batch:
-            boxes_, labels_, scores_, keep_ = run(
+            (boxes_, labels_, scores_, keep_), masks_ = run(
                 model.variables, batch["images"], batch["pixel_mask"]
             )
         else:
-            boxes_, labels_, scores_, keep_ = run_nomask(
+            (boxes_, labels_, scores_, keep_), masks_ = run_nomask(
                 model.variables, batch["images"]
             )
         keep0 = np.asarray(keep_[0])
@@ -65,8 +81,15 @@ def eval_model(model, config, class_names, valid_dt):
                 bbox_ops.np_xcycwh_to_xyxy(batch["boxes"][0][:n])
             )
         )
+        p_masks = t_masks = None
+        if masks_ is not None and "t_masks" in batch:
+            # Prediction and target masks live on the identical padded
+            # stride-4 lattice (data/processing.py) — IoU needs no resize.
+            p_masks = np.asarray(masks_[0])[keep0].transpose(1, 2, 0)
+            t_masks = batch["t_masks"][0][:n].transpose(1, 2, 0)
         evaluator.add_image(
-            p_bbox, p_labels, p_scores, t_yxyx, batch["classes"][0][:n]
+            p_bbox, p_labels, p_scores, t_yxyx, batch["classes"][0][:n],
+            p_masks=p_masks, t_masks=t_masks,
         )
         print(f"Computing map.....{it}", end="\r")
     return evaluator.print_table()
@@ -77,18 +100,25 @@ if __name__ == "__main__":
     parser.add_argument(
         "--exact_shapes", action="store_true",
         help="compile per exact image shape instead of bucket-padding — "
-             "the reference's protocol (eval.py:41-58). Bucket padding "
-             "with a pixel mask changes post-softmax scores by at most "
-             "~5e-3 (scripts/padding_error_probe.py, random weights); "
-             "use this flag when zero-delta parity is required.",
+             "the reference's protocol (eval.py:41-58). The padded+mask "
+             "forward is exactly padding-invariant (per-conv validity "
+             "masking, models/resnet.py; deltas at fp32 noise — "
+             "scripts/padding_error_probe.py), so this flag only trades "
+             "compile count for identical numbers.",
+    )
+    parser.add_argument(
+        "--masks", action="store_true",
+        help="run the instance-segmentation head and score a real mask "
+             "AP row (the reference's is a zero placeholder).",
     )
     args = parser.parse_args()
     config = TrainingConfig().update_from_args(args)
 
-    detr = build_model(config)
+    detr = build_model(config, masks=args.masks)
     valid_dt, class_names = load_coco_dataset(
         config, 1, augmentation=None,
         bucket_divisor=1 if args.exact_shapes else 128,
+        include_masks=args.masks,
     )
     config = config.replace(background_class=valid_dt.background_class)
     eval_model(detr, config, class_names, valid_dt)

@@ -1,20 +1,20 @@
-"""Bound the bucket-padding error of the masked eval path.
+"""Verify the bucket-padding exactness of the masked eval path.
 
 The bucketed eval pads images to a shape multiple of 128 and passes a
-pixel mask; attention and positional encodings are exact under the mask,
-but backbone *convolutions* see zeros outside the valid region, so
-features within ~one stride-32 receptive field of the pad boundary can
-differ from a genuinely-unpadded forward (the reference's protocol,
-/root/reference/eval.py:41-58). This probe measures the end-to-end
-effect with a real DETR-R50 (random weights), across aspect ratios:
+pixel mask. Attention and positional encodings are exact under the mask,
+and the backbone applies per-conv validity masking with conv-arithmetic
+valid extents (models/resnet.py, layers.feature_valid_mask), so the
+padded+mask forward should equal a genuinely-unpadded forward (the
+reference's protocol, /root/reference/eval.py:41-58) to fp32 noise.
+This probe measures the end-to-end deltas with a real DETR-R50 (random
+weights) across aspect ratios:
 
-  * max / mean abs delta on pred_logits and pred_boxes
+  * max abs delta on pred_logits and pred_boxes
     (padded+mask vs exact-shape forward);
   * the effect on post-softmax scores.
 
-Run on CPU (slow, exact) or TPU. Results are documented in
-docs/evaluation.md; eval.py --exact_shapes switches to per-shape
-compiles when zero-delta eval is required.
+Expected: ~1e-6. Run on CPU (slow, exact) or TPU. Results are documented
+in docs/evaluation.md.
 """
 
 import sys
@@ -62,8 +62,6 @@ def main():
         d_log = float(np.abs(logit_e - logit_p).max())
         d_box = float(np.abs(box_e - box_p).max())
         d_score = float(np.abs(softmax(logit_e) - softmax(logit_p)).max())
-        # Box deltas in the padded frame must be rescaled to compare in
-        # the original frame (eval rescales targets by orig/padded).
         worst = max(worst, d_score)
         print(
             f"{h}x{w:<5} -> {ph}x{pw:<5} {d_log:11.2e} {d_box:10.2e} "

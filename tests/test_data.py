@@ -305,8 +305,9 @@ def test_voc_loader_original_size_buckets(voc_root):
     assert b["pixel_mask"].shape == (2, h, w)
     assert b["pixel_mask"][:, :80, :100].all()
     assert not b["pixel_mask"][:, 80:, :].any()
-    # boxes rescaled from original frame to padded frame
-    assert (b["boxes"][b["mask"]] <= 80.0 / 128.0 + 1e-5).any()
+    # boxes stay in original-frame normalized coordinates (the padding-
+    # invariant network predicts valid-frame boxes; processing.py)
+    assert (b["boxes"][b["mask"]] <= 1.0 + 1e-5).all()
 
 
 def test_make_eval_example_matches_manual(rng):
@@ -324,8 +325,6 @@ def test_make_eval_example_matches_manual(rng):
     np.testing.assert_allclose(ex["images"][:70, :110], ref, atol=1e-5)
     np.testing.assert_allclose(ex["images"][70:], 0.0)
     assert ex["pixel_mask"][:70, :110].all() and not ex["pixel_mask"][70:].any()
-    np.testing.assert_allclose(
-        ex["boxes"][0],
-        t_bbox[0] * np.array([110 / 128, 70 / 128, 110 / 128, 70 / 128]),
-        atol=1e-6,
-    )
+    # GT keeps original-frame normalized coordinates — the padding-
+    # invariant forward predicts valid-frame boxes (processing.py).
+    np.testing.assert_allclose(ex["boxes"][0], t_bbox[0], atol=1e-6)

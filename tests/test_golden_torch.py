@@ -81,7 +81,12 @@ def test_forward_parity_full_stack(torch_detr):
 
 def test_forward_parity_with_pixel_mask(torch_detr):
     """Padded images + pixel mask (the bucket-eval path) must match torch
-    DETR fed the same mask — validates masked positions + attention."""
+    DETR fed the UNPADDED image. This is the guarantee the bucketed eval
+    protocol rests on: masked attention + mask-aware positions + per-conv
+    validity masking (models/resnet.py) make the padded forward exactly
+    reproduce the unpadded one — torch itself runs its backbone over the
+    zero-padded canvas and leaks conv halos, so matching the unpadded
+    forward is the *stronger* property."""
     rng = np.random.default_rng(7)
     img = rng.normal(size=(1, 96, 128, 3)).astype(np.float32)
     # Pad 96x128 -> 128x160 with zeros; valid region marked in the mask.
@@ -92,8 +97,7 @@ def test_forward_parity_with_pixel_mask(torch_detr):
 
     with torch.no_grad():
         t_out = torch_detr(
-            pixel_values=torch.from_numpy(padded.transpose(0, 3, 1, 2)),
-            pixel_mask=torch.from_numpy(mask.astype(np.int64)),
+            pixel_values=torch.from_numpy(img.transpose(0, 3, 1, 2)),
         )
 
     variables = convert_torch_detr(

@@ -153,3 +153,96 @@ def test_logger_hooks_run(coco_root):
     train_log(batch, outputs, config, step=0, class_names=class_names)
     valid_log(batch, outputs, config, val_step=0, global_step=0,
               class_names=class_names, evaluation_step=1)
+
+
+@pytest.fixture
+def coco_root_seg(tmp_path, rng):
+    """Synthetic COCO with segmentation annotations (polygon + RLE)."""
+    import cv2
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    ann_id = 0
+    for i in range(3):
+        h, w = 70, 90
+        img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"i{i}.png"), img)
+        images.append({"id": i, "file_name": f"i{i}.png", "height": h, "width": w})
+        # polygon instance: the 30x30 box at (10, 10)
+        annotations.append({
+            "id": ann_id, "image_id": i, "category_id": 1,
+            "bbox": [10.0, 10.0, 30.0, 30.0], "iscrowd": 0,
+            "segmentation": [[10, 10, 40, 10, 40, 40, 10, 40]],
+        })
+        ann_id += 1
+        # uncompressed-RLE instance: full first column block (col-major)
+        annotations.append({
+            "id": ann_id, "image_id": i, "category_id": 2,
+            "bbox": [50.0, 20.0, 10.0, 20.0], "iscrowd": 0,
+            "segmentation": {
+                "size": [h, w],
+                "counts": [50 * h + 20, 20, 0],
+            },
+        })
+        annotations[-1]["segmentation"]["counts"][-1] = h * w - (50 * h + 40)
+        ann_id += 1
+    (tmp_path / "ann.json").write_text(json.dumps({
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+    }))
+    return tmp_path
+
+
+def test_mask_finetune_and_eval_flow(coco_root_seg):
+    """The finetune_coco_masks.py workflow on synthetic data: frozen
+    detector, mask-head-only training, then a masked eval producing a
+    real (finite) mask AP row — the reference's is a hardwired zero."""
+    import importlib
+
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(coco_root_seg), img_dir="images",
+                        ann_file="ann.json"),
+        image_size=(64, 64), batch_size=1, target_batch=None,
+        train_backbone=False, train_transformers=False, train_nlayers=True,
+        nlayers_lr=1e-3, num_queries=6,
+    )
+    train_dt, class_names = load_coco_dataset(
+        config, 1, augmentation=True, num_workers=1, include_masks=True
+    )
+    config = config.replace(background_class=train_dt.background_class)
+
+    model = build_detr(
+        num_classes=len(class_names), num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 64),
+        masks=True, model_dim=16, num_heads=2, num_encoder_layers=1,
+        num_decoder_layers=1, dim_feedforward=32,
+    )
+    trainer = Trainer(model.module, model.variables, config)
+    batches = list(train_dt)
+    assert batches and "t_masks" in batches[0]
+    assert batches[0]["t_masks"].shape == (1, 6, 16, 16)
+    log0 = trainer.step(batches[0])
+    assert np.isfinite(float(log0["mask_loss"]))
+    assert np.isfinite(float(log0["dice_loss"]))
+    # frozen detector: only nlayers trains -> backbone params unchanged
+    before = model.variables["params"]["backbone"]
+    import jax
+
+    same = jax.tree.map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        before, trainer.state.params["backbone"],
+    )
+    assert all(jax.tree_util.tree_leaves(same))
+
+    # masked eval over the bucketed path with a real mask AP row
+    eval_mod = importlib.import_module("eval")
+    valid_dt, _ = load_coco_dataset(
+        config, 1, augmentation=None, bucket_divisor=64, shuffle=False,
+        num_workers=1, include_masks=True,
+    )
+    bundle = DetrModel(model.module, trainer.variables)
+    table = eval_mod.eval_model(bundle, config, class_names, valid_dt)
+    assert np.isfinite(table["mask"]["all"])
+    assert np.isfinite(table["box"]["all"])

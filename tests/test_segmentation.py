@@ -1,0 +1,391 @@
+"""Instance-segmentation subsystem tests: RLE/polygon rasterization,
+mask-aware augmentation, the attention-map + FPN mask head, the
+focal/dice losses, postprocessing, and mask mAP — capability beyond the
+reference, whose mask pipeline is a zero placeholder (reference
+eval.py:54, README.md:88)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detr_tensorflow_tpu.data import masks as seg_masks
+from detr_tensorflow_tpu.data import transforms
+from detr_tensorflow_tpu.ops.losses import detr_loss, mask_losses
+
+
+def _encode_rle_counts(runs):
+    """Inverse of decode_rle_counts (pycocotools rleToString scheme) —
+    test-only encoder to exercise the compressed path."""
+    out = bytearray()
+    prev2 = 0
+    for i, x in enumerate(runs):
+        if i > 2:
+            x = x - runs[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            # sign-aware continuation: stop when remaining bits match the
+            # sign bit of the emitted chunk
+            more = not (x == 0 and not (c & 0x10)) and not (
+                x == -1 and (c & 0x10)
+            )
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return bytes(out)
+
+
+class TestRasterization:
+    def test_uncompressed_rle(self):
+        # 3x4 column-major: 2 zeros, 3 ones, 7 zeros
+        mask = seg_masks.rle_to_mask(
+            {"size": [3, 4], "counts": [2, 3, 7]}
+        )
+        expect = np.zeros((3, 4), np.uint8)
+        # column-major positions 2,3,4 -> (r2,c0), (r0,c1), (r1,c1)
+        expect[2, 0] = expect[0, 1] = expect[1, 1] = 1
+        np.testing.assert_array_equal(mask, expect)
+
+    def test_compressed_rle_roundtrip(self):
+        rng = np.random.default_rng(3)
+        dense = (rng.random((13, 17)) > 0.6).astype(np.uint8)
+        flat = dense.T.reshape(-1)  # column-major
+        # build run lengths starting with a zero-run
+        runs, cur, count = [], 0, 0
+        for v in flat:
+            if v == cur:
+                count += 1
+            else:
+                runs.append(count)
+                cur, count = v, 1
+        runs.append(count)
+        encoded = _encode_rle_counts(list(runs))
+        decoded = seg_masks.rle_to_mask(
+            {"size": [13, 17], "counts": encoded}
+        )
+        np.testing.assert_array_equal(decoded, dense)
+
+    def test_polygon_square(self):
+        mask = seg_masks.polygons_to_mask(
+            [[2, 2, 8, 2, 8, 8, 2, 8]], 12, 12
+        )
+        assert mask[5, 5] == 1 and mask[0, 0] == 0
+        # filled square ~ (8-2+1)^2 with cv2's inclusive rasterization
+        assert 36 <= mask.sum() <= 49
+
+    def test_ann_to_mask_dispatch(self):
+        rle = {"segmentation": {"size": [4, 4], "counts": [0, 16]}, "bbox": [0, 0, 4, 4]}
+        assert seg_masks.ann_to_mask(rle, 4, 4).sum() == 16
+        poly = {"segmentation": [[0, 0, 3, 0, 3, 3, 0, 3]]}
+        assert seg_masks.ann_to_mask(poly, 4, 4).sum() >= 9
+        assert seg_masks.ann_to_mask({}, 4, 4).sum() == 0
+
+    def test_pad_instance_masks(self):
+        m = np.ones((2, 32, 48), np.uint8)
+        out = seg_masks.pad_instance_masks(m, max_targets=5, stride=4)
+        assert out.shape == (5, 8, 12)
+        assert out[:2].sum() == 2 * 8 * 12 and out[2:].sum() == 0
+
+
+class TestMaskTransforms:
+    def _box_mask(self, h, w, x0, y0, x1, y1):
+        m = np.zeros((h, w), np.uint8)
+        m[y0:y1, x0:x1] = 1
+        return m
+
+    def test_hflip_alignment(self):
+        image = np.zeros((20, 30, 3), np.uint8)
+        boxes = np.array([[10 / 30, 5 / 20, 8 / 30, 6 / 20]], np.float64)  # xcycwh
+        masks = self._box_mask(20, 30, 6, 2, 14, 8)[None]
+        img2, b2, m2 = transforms._hflip(
+            image, np.array([[6.0, 2.0, 14.0, 8.0]]), masks
+        )
+        assert np.allclose(b2, [[30 - 14, 2, 30 - 6, 8]])
+        np.testing.assert_array_equal(m2[0], masks[0][:, ::-1])
+
+    def test_detr_transform_masks_track_boxes(self, rng):
+        class Cfg:
+            image_size = (32, 48)
+            normalized_method = "torch_resnet"
+
+        image = np.full((64, 96, 3), 128, np.uint8)
+        # one object covering a known region
+        masks = self._box_mask(64, 96, 24, 16, 72, 48)[None]
+        boxes = np.array([[48 / 96, 32 / 64, 48 / 96, 32 / 64]], np.float32)
+        classes = np.array([1], np.int32)
+        out = transforms.detr_transform(
+            image, boxes, classes, Cfg(), augmentation=True, rng=rng,
+            masks=masks,
+        )
+        assert len(out) == 4
+        img, b, c, m = out
+        assert img.shape[:2] == (32, 48)
+        assert m.shape == (len(b), 32, 48)
+        if len(b):
+            # mask centroid should sit inside (a dilation of) the box
+            ys, xs = np.nonzero(m[0])
+            assert len(xs) > 0
+            cx, cy = xs.mean() / 48, ys.mean() / 32
+            bx, by, bw, bh = b[0]
+            assert abs(cx - bx) < bw / 2 + 0.15
+            assert abs(cy - by) < bh / 2 + 0.15
+
+    def test_filter_returns_keep(self):
+        boxes = np.array([[0.0, 0.0, 10.0, 10.0], [-100.0, -100.0, -90.0, -90.0]])
+        classes = np.array([1, 2])
+        b, c, keep = transforms._filter_and_clip(boxes, classes, 20, 20)
+        assert keep.tolist() == [True, False]
+        assert c.tolist() == [1]
+
+
+@pytest.fixture(scope="module")
+def seg_model():
+    from detr_tensorflow_tpu.models.api import build_detr
+
+    return build_detr(
+        num_classes=7, num_queries=10, head="detr",
+        num_encoder_layers=1, num_decoder_layers=2,
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 96),
+        masks=True, model_dim=32, num_heads=4, dim_feedforward=64,
+    )
+
+
+class TestMaskHead:
+    def test_output_shapes(self, seg_model):
+        x = np.zeros((2, 64, 96, 3), np.float32)
+        out = seg_model(x)
+        # stride-4 output resolution
+        assert out["pred_masks"].shape == (2, 10, 16, 24)
+        assert out["pred_logits"].shape == (2, 10, 7)
+
+    def test_attention_maps_respect_padding(self):
+        from detr_tensorflow_tpu.models.segmentation import MHAttentionMap
+
+        mod = MHAttentionMap(model_dim=16, num_heads=4)
+        rng = np.random.default_rng(0)
+        queries = jnp.asarray(rng.normal(size=(1, 3, 16)), jnp.float32)
+        memory = jnp.asarray(rng.normal(size=(1, 2, 4, 16)), jnp.float32)
+        kpm = np.zeros((1, 8), bool)
+        kpm[0, 5:] = True  # last 3 positions padded
+        variables = mod.init(jax.random.PRNGKey(0), queries, memory)
+        attn = mod.apply(variables, queries, memory, key_padding_mask=jnp.asarray(kpm))
+        attn = np.asarray(attn)  # (1, 3, 4, 2, 4)
+        flat = attn.reshape(1, 3, 4, 8)
+        np.testing.assert_allclose(flat.sum(-1), 1.0, rtol=1e-5)
+        assert flat[..., 5:].max() < 1e-6
+
+    def test_bucket_padding_exactness(self, seg_model):
+        """Bucket-padded + pixel-mask forward must reproduce the unpadded
+        forward's mask logits over the valid region: the attention maps
+        are exactly masked and the trunk GroupNorms use masked statistics
+        (MaskedGroupNorm), so zero padding cannot shift predictions."""
+        x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+        ref = np.asarray(seg_model(x)["pred_masks"])  # (1, Q, 16, 16)
+
+        padded = np.zeros((1, 64, 96, 3), np.float32)
+        padded[:, :, :64] = x
+        pm = np.zeros((1, 64, 96), bool)
+        pm[:, :, :64] = True
+        out = seg_model(padded, pixel_mask=pm)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_masks"])[..., :16], ref, rtol=1e-4, atol=1e-4
+        )
+
+    def test_bucket_padding_exactness_boxes(self, seg_model):
+        """The backbone's per-conv validity masking makes the *box* path
+        exactly padding-invariant too (previously bounded at ~4.5e-3 by
+        conv-halo leakage — scripts/padding_error_probe.py)."""
+        x = np.random.default_rng(1).normal(size=(1, 64, 64, 3)).astype(np.float32)
+        ref = seg_model(x)
+        padded = np.zeros((1, 64, 96, 3), np.float32)
+        padded[:, :, :64] = x
+        pm = np.zeros((1, 64, 96), bool)
+        pm[:, :, :64] = True
+        out = seg_model(padded, pixel_mask=pm)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_logits"]), np.asarray(ref["pred_logits"]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred_boxes"]), np.asarray(ref["pred_boxes"]),
+            atol=1e-4,
+        )
+
+    def test_grads_flow(self, seg_model):
+        import flax
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 64, 96, 3)), jnp.float32
+        )
+        t_bbox = jnp.asarray([[[0.5, 0.5, 0.4, 0.4]] * 10], jnp.float32)
+        t_class = jnp.ones((1, 10), jnp.int32)
+        t_mask = jnp.asarray(np.eye(10, dtype=bool)[0][None])
+        t_masks = jnp.asarray(
+            (np.random.default_rng(1).random((1, 10, 16, 24)) > 0.5).astype(np.uint8)
+        )
+
+        @jax.jit
+        def grads(p):
+            def lf(p):
+                o = seg_model.module.apply(
+                    {"params": p, "frozen": seg_model.frozen}, x
+                )
+                t, _ = detr_loss(o, t_bbox, t_class, t_mask, 6, t_masks=t_masks)
+                return t
+            return jax.grad(lf)(p)
+
+        g = grads(seg_model.params)
+        for key in ("mask_head", "bbox_attention"):
+            leaves = flax.traverse_util.flatten_dict(g[key])
+            assert all(np.isfinite(np.asarray(v)).all() for v in leaves.values())
+            assert any(float(jnp.abs(v).sum()) > 0 for v in leaves.values())
+
+
+class TestMaskLosses:
+    def _setup(self):
+        B, Q, T, H, W = 1, 4, 4, 8, 8
+        t_of_p = jnp.asarray([[0, 1, -1, -1]])
+        matched = jnp.asarray([[True, True, False, False]])
+        t_masks = np.zeros((B, T, H, W), np.float32)
+        t_masks[0, 0, :4] = 1.0
+        t_masks[0, 1, 4:] = 1.0
+        return t_of_p, matched, jnp.asarray(t_masks), (B, Q, H, W)
+
+    def test_perfect_prediction_near_zero(self):
+        t_of_p, matched, t_masks, (B, Q, H, W) = self._setup()
+        logits = np.full((B, Q, H, W), -20.0, np.float32)
+        logits[0, 0, :4] = 20.0
+        logits[0, 1, 4:] = 20.0
+        out = mask_losses(jnp.asarray(logits), t_masks, t_of_p, matched)
+        assert float(out["mask_loss"]) < 1e-4
+        assert float(out["dice_loss"]) < 1e-2
+
+    def test_wrong_prediction_larger(self):
+        t_of_p, matched, t_masks, (B, Q, H, W) = self._setup()
+        wrong = np.full((B, Q, H, W), -20.0, np.float32)
+        wrong[0, 0, 4:] = 20.0  # inverted
+        wrong[0, 1, :4] = 20.0
+        out = mask_losses(jnp.asarray(wrong), t_masks, t_of_p, matched)
+        assert float(out["dice_loss"]) > 0.9
+
+    def test_unmatched_queries_ignored(self):
+        t_of_p, matched, t_masks, (B, Q, H, W) = self._setup()
+        base = np.full((B, Q, H, W), -20.0, np.float32)
+        base[0, 0, :4] = 20.0
+        base[0, 1, 4:] = 20.0
+        noisy = base.copy()
+        noisy[0, 2:] = 37.0  # garbage on unmatched queries only
+        a = mask_losses(jnp.asarray(base), t_masks, t_of_p, matched)
+        b = mask_losses(jnp.asarray(noisy), t_masks, t_of_p, matched)
+        np.testing.assert_allclose(
+            float(a["mask_loss"]), float(b["mask_loss"]), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            float(a["dice_loss"]), float(b["dice_loss"]), atol=1e-7
+        )
+
+    def test_target_resize_on_device(self):
+        """Targets at a different resolution are nearest-resized on device."""
+        t_of_p = jnp.asarray([[0]])
+        matched = jnp.asarray([[True]])
+        t_masks = np.zeros((1, 1, 16, 16), np.float32)
+        t_masks[0, 0, :8] = 1.0
+        logits = np.full((1, 1, 8, 8), -20.0, np.float32)
+        logits[0, 0, :4] = 20.0
+        out = mask_losses(jnp.asarray(logits), jnp.asarray(t_masks), t_of_p, matched)
+        assert float(out["dice_loss"]) < 1e-2
+
+    def test_total_includes_mask_terms(self):
+        rs = np.random.RandomState(0)
+        out = {
+            "pred_logits": jnp.asarray(rs.randn(1, 4, 7).astype(np.float32)),
+            "pred_boxes": jnp.asarray(
+                rs.rand(1, 4, 4).astype(np.float32) * 0.5 + 0.25
+            ),
+            "pred_masks": jnp.asarray(rs.randn(1, 4, 8, 8).astype(np.float32)),
+        }
+        t_bbox = jnp.asarray(rs.rand(1, 4, 4).astype(np.float32) * 0.4 + 0.2)
+        t_class = jnp.asarray(rs.randint(0, 6, (1, 4)).astype(np.int32))
+        t_mask = jnp.asarray(np.array([[True, True, False, False]]))
+        t_masks = jnp.asarray((rs.rand(1, 4, 8, 8) > 0.5).astype(np.uint8))
+        total_with, log_with = detr_loss(
+            out, t_bbox, t_class, t_mask, 6, t_masks=t_masks
+        )
+        no_mask_out = {k: v for k, v in out.items() if k != "pred_masks"}
+        total_without, _ = detr_loss(no_mask_out, t_bbox, t_class, t_mask, 6)
+        expected = (
+            float(total_without)
+            + float(log_with["mask_loss"])
+            + float(log_with["dice_loss"])
+        )
+        np.testing.assert_allclose(float(total_with), expected, rtol=1e-5)
+
+
+class TestPostprocessAndAP:
+    def test_postprocess_masks(self):
+        from detr_tensorflow_tpu.inference import postprocess_masks
+
+        logits = np.full((1, 2, 4, 6), -10.0, np.float32)
+        logits[0, 0, :2] = 10.0
+        m = postprocess_masks({"pred_masks": jnp.asarray(logits)})
+        assert m.shape == (1, 2, 4, 6) and m.dtype == bool
+        assert np.asarray(m)[0, 0, :2].all() and not np.asarray(m)[0, 1].any()
+        up = postprocess_masks(
+            {"pred_masks": jnp.asarray(logits)}, out_size=(8, 12)
+        )
+        assert up.shape == (1, 2, 8, 12)
+
+    def test_mask_ap_perfect_and_zero(self):
+        from detr_tensorflow_tpu.metrics.ap import MeanAPEvaluator
+
+        ev = MeanAPEvaluator(num_classes=3)
+        t_boxes = np.array([[0.1, 0.1, 0.5, 0.5]])
+        t_labels = np.array([1])
+        gt_mask = np.zeros((16, 16, 1), np.float32)
+        gt_mask[2:8, 2:8, 0] = 1.0
+        ev.add_image(
+            p_boxes=t_boxes, p_labels=t_labels, p_scores=np.array([0.9]),
+            t_boxes=t_boxes, t_labels=t_labels,
+            p_masks=gt_mask, t_masks=gt_mask,
+        )
+        table = ev.compute()
+        assert table["mask"]["all"] == pytest.approx(100.0)
+        ev2 = MeanAPEvaluator(num_classes=3)
+        ev2.add_image(
+            p_boxes=t_boxes, p_labels=t_labels, p_scores=np.array([0.9]),
+            t_boxes=t_boxes, t_labels=t_labels,
+        )
+        assert ev2.compute()["mask"]["all"] == 0.0
+        assert ev2.compute()["box"]["all"] == pytest.approx(100.0)
+
+
+class TestEngineWithMasks:
+    def test_train_step_with_masks_decreases_loss(self, seg_model):
+        from detr_tensorflow_tpu.train.config import TrainingConfig
+        from detr_tensorflow_tpu.train.engine import Trainer
+
+        config = TrainingConfig(
+            background_class=6, batch_size=1, image_size=(64, 96),
+            train_backbone=True, train_transformers=True, train_nlayers=True,
+        )
+        trainer = Trainer(seg_model.module, seg_model.variables, config)
+        rs = np.random.RandomState(0)
+        t_masks = np.zeros((1, 10, 16, 24), np.uint8)
+        t_masks[0, 0, 4:12, 6:18] = 1
+        batch = {
+            "images": rs.randn(1, 64, 96, 3).astype(np.float32),
+            "boxes": np.tile([[0.5, 0.5, 0.5, 0.5]], (1, 10, 1)).astype(np.float32),
+            "classes": np.ones((1, 10), np.int32),
+            "mask": np.eye(10, dtype=bool)[0][None],
+            "t_masks": t_masks,
+        }
+        trainer.set_learning_rates(
+            backbone=1e-3, transformers=1e-3, nlayers=1e-3
+        )
+        logs = [trainer.step(batch) for _ in range(8)]
+        first = float(logs[0]["mask_loss"]) + float(logs[0]["dice_loss"])
+        last = float(logs[-1]["mask_loss"]) + float(logs[-1]["dice_loss"])
+        assert "mask_loss" in logs[0] and "dice_loss" in logs[0]
+        assert last < first
