@@ -104,6 +104,53 @@ def get_model_inference(
 _CLASS_COLORS = np.random.RandomState(0).randint(0, 255, (200, 3))
 
 
+def numpy_masks_to_image(
+    image: np.ndarray,
+    masks: np.ndarray,
+    labels=None,
+    alpha: float = 0.45,
+    config=None,
+    unnormalize: bool = True,
+):
+    """Alpha-blend per-instance masks onto an image (uint8 RGB returned).
+
+    Args:
+      image: (H, W, 3) image (normalized float or uint8).
+      masks: (N, h, w) bool/float instance masks at any resolution —
+        nearest-resized to the image size.
+      labels: optional (N,) class ids for stable per-class colors.
+
+    The reference has no mask visualization (masks are zero placeholders
+    there); this is the segmentation twin of ``numpy_bbox_to_image``.
+    """
+    import cv2
+
+    from .data.processing import denormalize_image
+
+    image = np.asarray(image)
+    if unnormalize and config is not None and image.dtype != np.uint8:
+        image = denormalize_image(image, config)
+    elif image.dtype != np.uint8:
+        image = np.clip(image * 255.0, 0, 255).astype(np.uint8)
+    image = np.ascontiguousarray(image).astype(np.float32)
+
+    h, w = image.shape[:2]
+    masks = np.asarray(masks)
+    if labels is None:
+        labels = np.arange(len(masks))
+    for i, m in enumerate(masks):
+        if m.shape != (h, w):
+            m = cv2.resize(
+                m.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+            )
+        sel = m > 0.5
+        if not sel.any():
+            continue
+        color = _CLASS_COLORS[int(labels[i]) % 200].astype(np.float32)
+        image[sel] = (1.0 - alpha) * image[sel] + alpha * color
+    return np.clip(image, 0, 255).astype(np.uint8)
+
+
 def numpy_bbox_to_image(
     image: np.ndarray,
     bbox_list: np.ndarray,

@@ -10,6 +10,7 @@ from .engine import (  # noqa: F401
     make_eval_step,
     fit,
     eval_loop,
+    PreemptionGuard,
 )
 from .checkpoint import (  # noqa: F401
     save_checkpoint,

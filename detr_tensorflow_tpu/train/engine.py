@@ -253,18 +253,88 @@ class Trainer:
         return {"params": self.state.params, "frozen": self.state.frozen}
 
 
+class PreemptionGuard:
+    """Graceful-stop watcher for preemptible TPU VMs.
+
+    Installs SIGTERM/SIGINT handlers (in the main thread) that only set a
+    flag; ``fit`` checks the flag between steps, writes a final full-state
+    checkpoint, and returns cleanly instead of dying mid-step — the
+    failure-tolerance story the reference lacks entirely (SURVEY.md §5:
+    crashes are fatal there). Preempted runs resume via
+    ``checkpoint.restore_latest``.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._previous = {}
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            del frame
+            self.requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._previous[sig] = signal.signal(sig, handler)
+            except ValueError:  # not the main thread: stay passive
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._previous.items():
+            signal.signal(sig, prev)
+        return False
+
+
 def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None,
-        log_fn=None, log_every: int = 100, checkpoint_every: Optional[int] = None):
+        log_fn=None, log_every: int = 100, checkpoint_every: Optional[int] = None,
+        preemption_guard: Optional[PreemptionGuard] = None):
     """One epoch over ``train_dataset`` (an iterable of native batches) —
     console cadence mirrors reference training.py:35-65. With
     ``checkpoint_every`` (and ``config.checkpoint_dir``) the full train
     state is snapshotted periodically so a crashed run resumes via
     ``restore_latest`` — failure tolerance the reference lacks
-    (SURVEY.md §5: crashes are fatal there)."""
+    (SURVEY.md §5: crashes are fatal there). A ``PreemptionGuard`` (an
+    externally-entered one, or a fresh one when ``config.checkpoint_dir``
+    is set) turns SIGTERM/SIGINT into checkpoint-and-return.
+
+    Returns True if the epoch completed, False if preempted."""
     del class_names
+    import contextlib
+
+    own_guard = (
+        PreemptionGuard()
+        if preemption_guard is None and config.checkpoint_dir
+        else None
+    )
+    guard = preemption_guard or own_guard
+    ctx = own_guard if own_guard is not None else contextlib.nullcontext()
+    with ctx:
+        return _fit_inner(
+            trainer, train_dataset, config, epoch_nb, log_fn, log_every,
+            checkpoint_every, guard,
+        )
+
+
+def _fit_inner(trainer, train_dataset, config, epoch_nb, log_fn, log_every,
+               checkpoint_every, guard):
     t0 = time.time()
     for epoch_step, batch in enumerate(trainer.prefetch(train_dataset)):
         log = trainer.step(batch)
+        if guard is not None and guard.requested:
+            if config.checkpoint_dir:
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(trainer.state, config.checkpoint_dir)
+                print(
+                    f"Preemption signal received: checkpoint saved at step "
+                    f"{int(trainer.state.step)}; stopping epoch {epoch_nb}."
+                )
+            return False
         if (
             checkpoint_every
             and config.checkpoint_dir
@@ -291,6 +361,7 @@ def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None
                 f"l1: [{float(log['l1_loss']):.2f}] \t time: [{elapsed:.2f}]"
             )
             t0 = time.time()
+    return True
 
 
 def eval_loop(trainer: Trainer, valid_dataset, config, class_names=None,

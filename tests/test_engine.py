@@ -238,3 +238,40 @@ def test_fit_periodic_checkpointing(rng, tmp_path):
     fit(trainer, batches, config, epoch_nb=0, checkpoint_every=2)
     # steps 2 and 4 snapshotted; latest is 4
     assert latest_step(config.checkpoint_dir) == 4
+
+
+def test_fit_preemption_checkpoint_and_stop(rng, tmp_path):
+    """SIGTERM mid-epoch: fit saves a final checkpoint and returns False
+    (preempted); without a signal it returns True."""
+    import os
+    import signal
+
+    from detr_tensorflow_tpu.train import fit, latest_step
+
+    model = _tiny_model()
+    config = TrainingConfig(
+        background_class=0, train_transformers=True, target_batch=None,
+        checkpoint_dir=str(tmp_path / "ckpts"),
+    )
+    trainer = Trainer(model, _init(model), config)
+
+    def batches_with_signal(n, signal_at):
+        for i in range(n):
+            if i == signal_at:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield _batch(rng)
+
+    completed = fit(trainer, batches_with_signal(6, 2), config, epoch_nb=0)
+    assert completed is False
+    # The signal fires while the prefetcher produces batch 2; the guard
+    # check runs right after the next completed step, so the epoch stops
+    # well short of 6 steps and the snapshot matches the live step.
+    steps_done = int(trainer.state.step)
+    assert 1 <= steps_done < 6
+    assert latest_step(config.checkpoint_dir) == steps_done
+
+    # default handlers restored; a clean epoch completes and returns True
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    completed = fit(trainer, [_batch(rng) for _ in range(2)], config, epoch_nb=1)
+    assert completed is True
+    assert int(trainer.state.step) == steps_done + 2

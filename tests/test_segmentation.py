@@ -389,3 +389,15 @@ class TestEngineWithMasks:
         last = float(logs[-1]["mask_loss"]) + float(logs[-1]["dice_loss"])
         assert "mask_loss" in logs[0] and "dice_loss" in logs[0]
         assert last < first
+
+
+def test_numpy_masks_to_image():
+    from detr_tensorflow_tpu.inference import numpy_masks_to_image
+
+    img = np.full((16, 20, 3), 128, np.uint8)
+    masks = np.zeros((2, 8, 10), np.uint8)  # half resolution
+    masks[0, :4, :5] = 1
+    out = numpy_masks_to_image(img, masks, labels=np.array([1, 2]))
+    assert out.shape == (16, 20, 3) and out.dtype == np.uint8
+    assert not (out[:8, :10] == 128).all()  # blended region changed
+    assert (out[8:, 10:] == 128).all()  # untouched region intact
