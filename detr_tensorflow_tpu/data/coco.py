@@ -98,6 +98,7 @@ def load_coco_dataset(
     num_workers: int = 8,
     seed: int = 0,
     include_masks: bool = False,
+    paper_protocol: Optional[Tuple[int, int]] = None,
 ):
     """Build (dataset, class_names).
 
@@ -110,6 +111,12 @@ def load_coco_dataset(
     include_masks adds rasterized instance masks to each example as
     ``t_masks`` (T, H/4, W/4) uint8 — slotted like boxes, at the mask
     head's stride-4 output resolution (models/segmentation.py).
+
+    paper_protocol=(min_side, max_side) applies the DETR-paper eval
+    resize (shortest side to min_side, longest capped at max_side) on
+    the ``augmentation=None`` path before bucket padding — the protocol
+    behind the paper's AP 42.0, which the reference only carries as
+    disabled code (transformation.py:96-112).
     """
     del ann_dir
     ann_file = ann_file or config.data.full_ann_file
@@ -159,6 +166,10 @@ def load_coco_dataset(
                 )
             return example
         # Original-size eval: bucket-pad + pixel mask (shared helper).
+        if paper_protocol is not None:
+            image, inst_masks = transforms.shortest_side_resize(
+                image, paper_protocol[0], paper_protocol[1], masks=inst_masks
+            )
         return processing.make_eval_example(
             image, t_bbox, t_class, config, bucket_divisor,
             inst_masks=inst_masks,

@@ -130,6 +130,31 @@ def _filter_and_clip(boxes_xyxy, classes, h, w, max_outside_fraction=0.7):
     return clipped[keep], np.asarray(classes)[keep], keep
 
 
+def shortest_side_resize(
+    image: np.ndarray,
+    min_side: int = 800,
+    max_side: int = 1333,
+    masks: Optional[np.ndarray] = None,
+):
+    """DETR-paper evaluation resize: scale so the shortest side reaches
+    ``min_side``, capped so the longest side stays within ``max_side``.
+
+    The reference carries this protocol only as disabled code
+    (transformation.py:96-112, "Mode paper evaluation"); its published
+    AP 36.53 skips it (README.md:93) while the paper's 42.0 uses it.
+    Normalized box coordinates are scale-invariant, so only the image
+    (and optional instance masks) are resampled.
+
+    Returns (image, masks).
+    """
+    cv2 = _cv2()
+    h, w = image.shape[:2]
+    scale = min(min_side / min(h, w), max_side / max(h, w))
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    image = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    return image, _resize_masks(masks, nh, nw)
+
+
 def detr_transform(
     image: np.ndarray,
     bbox: np.ndarray,

@@ -81,9 +81,12 @@ class Predictor:
         if masked:
             @jax.jit
             def program(variables, frames, pixel_mask):
-                outputs = module.apply(
-                    variables, normalize(frames), pixel_mask=pixel_mask
-                )
+                # Zero padded pixels AFTER normalization: normalize(0) is
+                # nonzero (mean subtraction), and the model's exact
+                # padding-invariance assumes the padded image region is
+                # zeros, like an unpadded SAME conv's implicit padding.
+                x = normalize(frames) * pixel_mask[..., None].astype(jnp.float32)
+                outputs = module.apply(variables, x, pixel_mask=pixel_mask)
                 return inference.postprocess(outputs, background, fmt)
         else:
             @jax.jit
@@ -151,15 +154,15 @@ class Predictor:
             scores = np.asarray(scores)
             keep = np.asarray(keep) & (np.asarray(scores) >= self.score_threshold)
             for row, i in enumerate(idxs):
-                h, w = images[i].shape[:2]
                 k = keep[row]
-                b = boxes[row][k]
-                # Rescale from padded frame to the image's own frame.
-                if self.bbox_format == "xy_center":
-                    scale = np.array([pw / w, ph / h, pw / w, ph / h])
-                elif self.bbox_format == "xyxy":
-                    scale = np.array([pw / w, ph / h, pw / w, ph / h])
-                else:  # yxyx
-                    scale = np.array([ph / h, pw / w, ph / h, pw / w])
-                results[i] = Detection(b * scale, labels[row][k], scores[row][k])
+                # No padded->valid rescale: the network is exactly
+                # padding-invariant under a pixel mask (mask-aware
+                # positions + masked attention + per-conv validity
+                # masking, models/resnet.py), so predicted boxes are
+                # already normalized to the image's own valid frame —
+                # the convention the weights are trained with. Verified
+                # by tests/test_predictor.py::test_padded_equals_exact.
+                results[i] = Detection(
+                    boxes[row][k], labels[row][k], scores[row][k]
+                )
         return results  # type: ignore[return-value]

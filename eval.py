@@ -111,6 +111,14 @@ if __name__ == "__main__":
         help="run the instance-segmentation head and score a real mask "
              "AP row (the reference's is a zero placeholder).",
     )
+    parser.add_argument(
+        "--paper_protocol", action="store_true",
+        help="DETR-paper eval resize (shortest side 800, max 1333) — the "
+             "protocol behind the paper's AP 42.0; the reference carries "
+             "it only as disabled code (transformation.py:96-112). "
+             "Default is the reference's original-size protocol "
+             "(AP 36.53).",
+    )
     args = parser.parse_args()
     config = TrainingConfig().update_from_args(args)
 
@@ -119,6 +127,7 @@ if __name__ == "__main__":
         config, 1, augmentation=None,
         bucket_divisor=1 if args.exact_shapes else 128,
         include_masks=args.masks,
+        paper_protocol=(800, 1333) if args.paper_protocol else None,
     )
     config = config.replace(background_class=valid_dt.background_class)
     eval_model(detr, config, class_names, valid_dt)

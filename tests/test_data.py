@@ -328,3 +328,49 @@ def test_make_eval_example_matches_manual(rng):
     # GT keeps original-frame normalized coordinates — the padding-
     # invariant forward predicts valid-frame boxes (processing.py).
     np.testing.assert_allclose(ex["boxes"][0], t_bbox[0], atol=1e-6)
+
+
+def test_shortest_side_resize():
+    from detr_tensorflow_tpu.data.transforms import shortest_side_resize
+
+    img = np.zeros((100, 150, 3), np.uint8)
+    masks = np.ones((2, 100, 150), np.uint8)
+    out, m = shortest_side_resize(img, min_side=200, max_side=1000, masks=masks)
+    assert out.shape[:2] == (200, 300)
+    assert m.shape == (2, 200, 300)
+    # max-side cap binds: 100x400 with min 200 would make the long side
+    # 800 > 600 -> scale by 600/400 instead
+    img2 = np.zeros((100, 400, 3), np.uint8)
+    out2, _ = shortest_side_resize(img2, min_side=200, max_side=600)
+    assert out2.shape[:2] == (150, 600)
+
+
+def test_coco_loader_paper_protocol(tmp_path, rng):
+    import cv2, json
+    from detr_tensorflow_tpu.data import load_coco_dataset
+    from detr_tensorflow_tpu.train import DataConfig, TrainingConfig
+
+    img_dir = tmp_path / "images"; img_dir.mkdir()
+    img = rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)
+    cv2.imwrite(str(img_dir / "i.png"), img)
+    (tmp_path / "ann.json").write_text(json.dumps({
+        "images": [{"id": 0, "file_name": "i.png", "height": 60, "width": 90}],
+        "annotations": [{"id": 0, "image_id": 0, "category_id": 1,
+                         "bbox": [10.0, 10.0, 30.0, 30.0], "iscrowd": 0}],
+        "categories": [{"id": 1, "name": "a"}],
+    }))
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(tmp_path), img_dir="images",
+                        ann_file="ann.json"))
+    ds, _ = load_coco_dataset(
+        config, 1, augmentation=None, bucket_divisor=64, shuffle=False,
+        num_workers=1, paper_protocol=(120, 200),
+    )
+    b = next(iter(ds))
+    # 60x90 scaled by 2 (shortest 60->120), bucket 64 -> 128x192
+    assert b["images"].shape[1:3] == (128, 192)
+    assert b["pixel_mask"][0, :120, :180].all()
+    assert not b["pixel_mask"][0, 120:, :].any()
+    # normalized boxes unchanged by the protocol resize
+    assert np.allclose(b["boxes"][0, 0], [(10 + 15) / 90, (10 + 15) / 60,
+                                          30 / 90, 30 / 60], atol=1e-5)

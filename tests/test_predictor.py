@@ -52,3 +52,25 @@ def test_predictor_warmup(rng):
     img = [rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)]
     out = pred(img)
     assert out[0] is not None
+
+
+def test_padded_equals_exact(rng):
+    """A bucket-padded serve must return the SAME detections as serving
+    the image at its exact size: the model is exactly padding-invariant
+    and boxes come out normalized to the valid frame (no rescale)."""
+    model = build_detr(
+        num_classes=5, num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 64),
+    )
+    img = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+
+    exact = Predictor(model, background_class=0, bucket_divisor=64)(
+        [img]
+    )[0]
+    # divisor 128 forces zero-padding of the same image to 128x128
+    padded = Predictor(model, background_class=0, bucket_divisor=128)(
+        [img]
+    )[0]
+    np.testing.assert_array_equal(exact.labels, padded.labels)
+    np.testing.assert_allclose(exact.scores, padded.scores, atol=1e-4)
+    np.testing.assert_allclose(exact.boxes, padded.boxes, atol=1e-4)
