@@ -29,8 +29,19 @@ def _first_image_overlays(images, batch, m_outputs, config, class_names, max_ima
         p_bbox, p_labels, p_scores = inference_lib.get_model_inference(
             outputs_b, config.background_class
         )
+        base = img.copy()
+        if "pred_masks" in m_outputs:
+            # segmentation model: blend instance masks under the boxes
+            probs = 1.0 / (1.0 + np.exp(-np.asarray(m_outputs["pred_masks"][b])))
+            keep = np.asarray(
+                np.argmax(outputs_b["pred_logits"][0], axis=-1)
+                != config.background_class
+            )
+            base = inference_lib.numpy_masks_to_image(
+                base, (probs > 0.5)[keep], labels=None, config=config
+            )  # uint8 from here; numpy_bbox_to_image passes it through
         pred_img = inference_lib.numpy_bbox_to_image(
-            img.copy(), p_bbox, p_labels, p_scores, class_names, config
+            base, p_bbox, p_labels, p_scores, class_names, config
         )
         sender.gather_inference_image(pred_img, caption="prediction")
         # targets

@@ -275,3 +275,35 @@ def test_fit_preemption_checkpoint_and_stop(rng, tmp_path):
     completed = fit(trainer, [_batch(rng) for _ in range(2)], config, epoch_nb=1)
     assert completed is True
     assert int(trainer.state.step) == steps_done + 2
+
+
+def test_data_parallel_train_step_with_masks(rng):
+    """The segmentation train step (focal+dice in the loss) runs on a
+    data-parallel mesh with the target masks batch-sharded alongside."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs simulated multi-device CPU")
+    model = _tiny_model(masks=True)
+    config = TrainingConfig(
+        background_class=0, train_backbone=True, train_transformers=True,
+        train_nlayers=True, target_batch=None,
+    )
+    mesh = make_mesh(4)
+    trainer = Trainer(model, _init(model), config, mesh=mesh)
+    batch = _batch(rng, b=4)
+    t_masks = np.zeros((4, 6, 8, 8), np.uint8)
+    t_masks[:, :2, 2:6, 2:6] = 1
+    batch = dict(batch, t_masks=jnp.asarray(t_masks))
+    log = trainer.step(batch)
+    assert np.isfinite(float(log["mask_loss"]))
+    assert np.isfinite(float(log["dice_loss"]))
+    assert np.isfinite(float(log["total_loss"]))
+
+    # DP invariant for the mask terms: sharded == single-device values.
+    single = Trainer(model, _init(model), config)
+    log_s = single.step(jax.device_get(batch))
+    np.testing.assert_allclose(
+        float(log["mask_loss"]), float(log_s["mask_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(log["dice_loss"]), float(log_s["dice_loss"]), rtol=1e-4
+    )

@@ -133,6 +133,20 @@ def test_webcam_flow_on_video(tmp_path, rng):
     assert n == 2
     assert frames[0].shape == (64, 96, 3)
 
+    # --masks path: segmentation model overlays instance masks per frame
+    seg = build_detr(
+        num_classes=92, num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 96),
+        masks=True, model_dim=16, num_heads=2, num_encoder_layers=1,
+        num_decoder_layers=1, dim_feedforward=32,
+    )
+    seg_frames = []
+    n = wc.run_webcam_inference(
+        seg, video_path, image_size=(64, 96), display=False,
+        frame_callback=seg_frames.append, max_frames=1,
+    )
+    assert n == 1 and seg_frames[0].shape == (64, 96, 3)
+
 
 def test_logger_hooks_run(coco_root):
     from detr_tensorflow_tpu.logger import train_log, valid_log

@@ -50,7 +50,10 @@ def make_run_inference(model, background_class: int):
         else:
             raise ValueError(f"unknown normalization method: {method}")
         outputs = model.module.apply(variables, images)
-        return inference.postprocess(outputs, background_class, "xy_center")
+        post = inference.postprocess(outputs, background_class, "xy_center")
+        if "pred_masks" in outputs:  # segmentation model: threshold masks
+            return post, inference.postprocess_masks(outputs)
+        return post, None
 
     return lambda frames_u8: run(model.variables, frames_u8)
 
@@ -71,10 +74,16 @@ def run_webcam_inference(model, source=0, image_size=(376, 672), display=True,
                 break
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             frame = cv2.resize(frame, (image_size[1], image_size[0]))
-            boxes, labels, scores, keep = run(frame[None])
+            (boxes, labels, scores, keep), masks = run(frame[None])
             keep0 = np.asarray(keep[0])
+            out = frame
+            if masks is not None:  # instance-mask overlay
+                out = inference.numpy_masks_to_image(
+                    out, np.asarray(masks[0])[keep0],
+                    labels=np.asarray(labels[0])[keep0],
+                )
             out = inference.numpy_bbox_to_image(
-                frame,
+                out,
                 np.asarray(boxes[0])[keep0],
                 np.asarray(labels[0])[keep0],
                 np.asarray(scores[0])[keep0],
@@ -96,8 +105,11 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--source", default="0")
     parser.add_argument("--image_size", type=int, nargs=2, default=(376, 672))
+    parser.add_argument("--masks", action="store_true",
+                        help="run the segmentation head and overlay masks")
     args = parser.parse_args()
     source = int(args.source) if args.source.isdigit() else args.source
 
-    detr = get_detr_model(None, include_top=True, weights="detr")
+    detr = get_detr_model(None, include_top=True, weights="detr",
+                          masks=args.masks)
     run_webcam_inference(detr, source, tuple(args.image_size))
