@@ -80,6 +80,46 @@ def postprocess_masks(
     return probs > threshold
 
 
+def merge_instance_masks(
+    m_outputs: Dict[str, Array],
+    background_class: int,
+    mask_threshold: float = 0.5,
+) -> Tuple[Array, Array]:
+    """Panoptic-style non-overlapping merge of the per-query masks.
+
+    Every pixel is assigned to the query maximizing
+    ``class_score * mask_probability`` (the DETR panoptic pixel-argmax
+    rule), restricted to non-background queries; pixels whose winning
+    query's mask probability is below ``mask_threshold`` stay
+    unassigned.
+
+    Returns:
+      seg_map: (B, Hm, Wm) int32 — winning query index per pixel, or -1.
+      keep:    (B, Q) bool — non-background queries (index validity).
+
+    Jittable; the reference has no segmentation at all (eval.py:54).
+    """
+    logits = m_outputs["pred_logits"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    scores = jnp.max(probs, axis=-1)  # (B, Q)
+    labels = jnp.argmax(probs, axis=-1)
+    keep = labels != background_class
+
+    mprob = jax.nn.sigmoid(m_outputs["pred_masks"].astype(jnp.float32))
+    weighted = mprob * jnp.where(keep, scores, 0.0)[:, :, None, None]
+    best_q = jnp.argmax(weighted, axis=1).astype(jnp.int32)  # (B, Hm, Wm)
+    best_prob = jnp.take_along_axis(
+        mprob, best_q[:, None], axis=1
+    )[:, 0]  # winning query's raw mask probability
+    best_kept = jnp.take_along_axis(
+        keep.astype(jnp.int32), best_q.reshape(best_q.shape[0], -1), axis=1
+    ).reshape(best_q.shape).astype(bool)
+    seg_map = jnp.where(
+        (best_prob > mask_threshold) & best_kept, best_q, -1
+    )
+    return seg_map, keep
+
+
 def get_model_inference(
     m_outputs: Dict[str, Array], background_class: int, bbox_format: str = "xy_center"
 ):

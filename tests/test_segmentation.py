@@ -401,3 +401,37 @@ def test_numpy_masks_to_image():
     assert out.shape == (16, 20, 3) and out.dtype == np.uint8
     assert not (out[:8, :10] == 128).all()  # blended region changed
     assert (out[8:, 10:] == 128).all()  # untouched region intact
+
+
+def test_merge_instance_masks():
+    from detr_tensorflow_tpu.inference import merge_instance_masks
+
+    B, Q, H, W, C = 1, 3, 4, 6, 4  # class 3 = background
+    logits = np.full((B, Q, C), -10.0, np.float32)
+    logits[0, 0, 1] = 10.0      # query 0: strong class 1
+    logits[0, 1, 2] = 5.0       # query 1: weaker class 2
+    logits[0, 2, 3] = 10.0      # query 2: background -> excluded
+    masks = np.full((B, Q, H, W), -10.0, np.float32)
+    masks[0, 0, :, :3] = 10.0   # left half
+    masks[0, 1, :, 2:] = 10.0   # right 2/3 (overlaps column 2)
+    masks[0, 2, :, :] = 10.0    # background query covers everything
+    seg, keep = merge_instance_masks(
+        {"pred_logits": jnp.asarray(logits), "pred_masks": jnp.asarray(masks)},
+        background_class=3,
+    )
+    seg = np.asarray(seg)
+    assert keep.tolist() == [[True, True, False]]
+    assert (seg[0, :, :2] == 0).all()        # query 0 alone on the left
+    assert (seg[0, :, 3:] == 1).all()        # query 1 alone on the right
+    assert (seg[0, :, 2] == 0).all()         # overlap: higher score wins
+    # no pixel assigned to the background query
+    assert not (seg == 2).any()
+
+    # all-background: nothing assigned
+    logits_bg = np.full((B, Q, C), -10.0, np.float32)
+    logits_bg[..., 3] = 10.0
+    seg2, _ = merge_instance_masks(
+        {"pred_logits": jnp.asarray(logits_bg), "pred_masks": jnp.asarray(masks)},
+        background_class=3,
+    )
+    assert (np.asarray(seg2) == -1).all()
