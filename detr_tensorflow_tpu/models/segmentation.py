@@ -22,7 +22,7 @@ TPU-native design notes:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -70,7 +70,10 @@ class MHAttentionMap(nn.Module):
             logits = jnp.where(
                 key_padding_mask[:, None, None, :], _NEG_INF, logits
             )
-        attn = jax.nn.softmax(logits, axis=-1)
+        # Paper/torch semantics: softmax over heads AND space jointly
+        # (MHAttentionMap flattens (heads, H, W) before the softmax).
+        attn = jax.nn.softmax(logits.reshape(b, nq, h * fh * fw), axis=-1)
+        attn = attn.reshape(b, nq, h, fh * fw)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         return attn.reshape(b, nq, h, fh, fw)
 
@@ -122,16 +125,30 @@ class MaskHead(nn.Module):
     """FPN-style conv trunk: (attention maps + projected features) fused
     with the stride-16/8/4 backbone stages, one mask logit map per query.
 
+    Structurally weight-compatible with the DETR-paper panoptic
+    ``MaskHeadSmallConv`` (conv dims D+heads -> D+heads -> D/2 -> D/4 ->
+    D/8 -> D/16 -> 1, three FPN adapters, GroupNorm(8)), so the public
+    panoptic checkpoints convert directly (models/weights.py:
+    lay1 splits into lay1_feats/lay1_attn). Two trace-level rewrites
+    preserve the math while fitting TPUs:
+
+      * the first conv over ``concat(features, attention maps)`` is
+        split into two convolutions (conv is linear in input channels:
+        ``conv([a; b]) == conv_a(a) + conv_b(b)``), so the
+        query-independent feature half runs once per image and the
+        (B, Q, H, W, D+heads) concat never materializes in HBM;
+      * FPN adapters run once per image and broadcast over queries.
+
     Output (B, Q, H4, W4) fp32 logits, where (H4, W4) is the stride-4
-    (c2) resolution. With ``pixel_mask`` the trunk activations are zeroed
-    outside the valid region at every stage and all GroupNorm statistics
-    are masked, so bucket padding cannot perturb valid-region masks
-    (conv halos at the valid boundary aside).
+    (c2) resolution. With ``pixel_mask`` every 3x3-conv input is zeroed
+    outside the valid region and all GroupNorm statistics are masked
+    (MaskedGroupNorm), so bucket padding cannot perturb valid-region
+    masks; with an all-valid mask this reduces exactly to the torch
+    computation.
     """
 
     model_dim: int = 256
     num_heads: int = 8
-    trunk_dims: Sequence[int] = (128, 64, 32, 16)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,9 +159,19 @@ class MaskHead(nn.Module):
         fpn: Dict[str, jnp.ndarray],  # {"c4": stride16, "c3": s8, "c2": s4}
         pixel_mask: Optional[jnp.ndarray] = None,  # (B, H, W) bool, True=valid
     ) -> jnp.ndarray:
-        dims = tuple(self.trunk_dims)
+        import math
+
+        d, h = self.model_dim, self.num_heads
+        # Torch-parity trunk dims: [D+heads, D/2, D/4, D/8, D/16].
+        dims = (d + h, max(d // 2, 1), max(d // 4, 1), max(d // 8, 1),
+                max(d // 16, 1))
         b, nq = attn_maps.shape[0], attn_maps.shape[1]
         fh, fw = proj_feats.shape[1], proj_feats.shape[2]
+
+        def groups(c):
+            # 8 groups at torch scale (every dim above is divisible by 8
+            # for D=256); graceful fallback for tiny test models.
+            return 8 if c % 8 == 0 else math.gcd(8, c)
 
         def stage_valid(sh, sw):
             if pixel_mask is None:
@@ -153,7 +180,7 @@ class MaskHead(nn.Module):
 
             return feature_valid_mask(pixel_mask, sh, sw, dtype=jnp.float32)
 
-        def apply_gn(i, x, valid):
+        def apply_gn(idx, x, valid):
             # valid per image (B, sh, sw) -> per (image, query) rows
             v = None
             if valid is not None:
@@ -164,7 +191,8 @@ class MaskHead(nn.Module):
                 x = x * v[..., None].astype(x.dtype)
             x = nn.relu(
                 MaskedGroupNorm(
-                    num_groups=8, dtype=self.dtype, name=f"gn{i}"
+                    num_groups=groups(x.shape[-1]), dtype=self.dtype,
+                    name=f"gn{idx}",
                 )(x, valid=v)
             )
             if v is not None:
@@ -174,36 +202,38 @@ class MaskHead(nn.Module):
                 x = x * v[..., None].astype(x.dtype)
             return x
 
-        conv = lambda f, name: nn.Conv(  # noqa: E731
-            f, (3, 3), padding="SAME", dtype=self.dtype, name=name
+        conv = lambda f, name, bias=True: nn.Conv(  # noqa: E731
+            f, (3, 3), padding="SAME", use_bias=bias, dtype=self.dtype,
+            name=name,
         )
 
-        # conv0 over concat(features, attention) split into two convs —
-        # the feature half is query-independent, computed once per image
-        # and broadcast over queries (conv is linear in input channels:
-        # conv([a; b]) == conv_a(a) + conv_b(b)).
-        # Every 3x3-conv input is zeroed at padded positions first, so a
-        # conv halo at the valid boundary sees exactly the zeros an
-        # unpadded SAME-convolution would (bucket-padding exactness).
+        # lay1 over concat(features, attention) split into two convs; the
+        # attention half carries no bias (torch's single bias lands on
+        # the feature half once).
         v0 = stage_valid(fh, fw)
         if v0 is not None:
             proj_feats = proj_feats * v0[..., None].astype(proj_feats.dtype)
-        mem_part = conv(dims[0], "conv0_feats")(proj_feats)  # (B,Hf,Wf,C0)
+        mem_part = conv(dims[0], "lay1_feats")(proj_feats)  # (B,Hf,Wf,C0)
         attn_nhwc = attn_maps.transpose(0, 1, 3, 4, 2).reshape(
-            b * nq, fh, fw, self.num_heads
+            b * nq, fh, fw, h
         )
-        attn_part = conv(dims[0], "conv0_attn")(attn_nhwc.astype(self.dtype))
+        attn_part = conv(dims[0], "lay1_attn", bias=False)(
+            attn_nhwc.astype(self.dtype)
+        )
         x = attn_part.reshape(b, nq, fh, fw, dims[0]) + mem_part[:, None]
-        x = apply_gn(0, x.reshape(b * nq, fh, fw, dims[0]), stage_valid(fh, fw))
+        x = apply_gn(1, x.reshape(b * nq, fh, fw, dims[0]), v0)
+
+        x = conv(dims[1], "lay2")(x)
+        x = apply_gn(2, x, v0)
 
         for i, (stage, dim) in enumerate(
-            zip(("c4", "c3", "c2"), dims[1:]), start=1
+            zip(("c4", "c3", "c2"), dims[2:]), start=3
         ):
             feat = fpn[stage]
             sh, sw = feat.shape[1], feat.shape[2]
             cur = x.shape[-1]
             adapter = nn.Conv(
-                cur, (1, 1), dtype=self.dtype, name=f"adapter_{stage}"
+                cur, (1, 1), dtype=self.dtype, name=f"adapter{i - 2}"
             )(feat)  # (B, sh, sw, cur), per image
             x = jax.image.resize(
                 x, (b * nq, sh, sw, cur), method="nearest"
@@ -212,9 +242,9 @@ class MaskHead(nn.Module):
             if vs is not None:
                 adapter = adapter * vs[..., None].astype(adapter.dtype)
             x = x.reshape(b, nq, sh, sw, cur) + adapter[:, None]
-            x = conv(dim, f"conv{i}")(x.reshape(b * nq, sh, sw, cur))
+            x = conv(dim, f"lay{i}")(x.reshape(b * nq, sh, sw, cur))
             x = apply_gn(i, x, vs)
 
-        out = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="out")(x)
+        out = conv(1, "out_lay")(x)
         h4, w4 = out.shape[1], out.shape[2]
         return out.reshape(b, nq, h4, w4).astype(jnp.float32)

@@ -220,6 +220,50 @@ def _convert_transformer(
     return tr
 
 
+def _convert_segmentation_head(sd: Mapping, model_dim: int = 256) -> Tree:
+    """Panoptic mask head + attention-map params (facebook DETRsegm and
+    HF DetrForSegmentation share the ``mask_head.* / bbox_attention.*``
+    naming). The torch ``lay1`` convolves concat(features, attention
+    maps); our split form (models/segmentation.py) gets the first
+    ``model_dim`` input channels as ``lay1_feats`` and the rest as the
+    bias-free ``lay1_attn``."""
+
+    def conv(name):
+        out = {"kernel": _t(sd[f"mask_head.{name}.weight"]).transpose(2, 3, 1, 0)}
+        bias = f"mask_head.{name}.bias"
+        if bias in sd:
+            out["bias"] = _t(sd[bias])
+        return out
+
+    def gn(name):
+        return {
+            "scale": _t(sd[f"mask_head.{name}.weight"]),
+            "bias": _t(sd[f"mask_head.{name}.bias"]),
+        }
+
+    lay1 = _t(sd["mask_head.lay1.weight"]).transpose(2, 3, 1, 0)  # HWIO
+    mask_head = {
+        "lay1_feats": {
+            "kernel": lay1[:, :, :model_dim, :],
+            "bias": _t(sd["mask_head.lay1.bias"]),
+        },
+        "lay1_attn": {"kernel": lay1[:, :, model_dim:, :]},
+        "out_lay": conv("out_lay"),
+    }
+    for j in range(2, 6):
+        mask_head[f"lay{j}"] = conv(f"lay{j}")
+    for j in range(1, 6):
+        mask_head[f"gn{j}"] = gn(f"gn{j}")
+    for j in range(1, 4):
+        mask_head[f"adapter{j}"] = conv(f"adapter{j}")
+
+    bbox_attention = {
+        "q_proj": _linear(sd, "bbox_attention.q_linear"),
+        "k_proj": _linear(sd, "bbox_attention.k_linear"),
+    }
+    return {"mask_head": mask_head, "bbox_attention": bbox_attention}
+
+
 def convert_torch_detr(
     state_dict: Mapping,
     scheme: str = "auto",
@@ -230,8 +274,24 @@ def convert_torch_detr(
 ) -> Tree:
     """Torch DETR state_dict -> flax variables ``{'params', 'frozen'}``.
 
-    ``scheme='auto'`` sniffs facebook vs huggingface naming.
+    ``scheme='auto'`` sniffs facebook vs huggingface naming. Panoptic /
+    segmentation checkpoints (facebook DETRsegm, HF DetrForSegmentation)
+    are detected by their ``mask_head.*`` keys: the detector lives under
+    a ``detr.`` prefix there, and the mask head converts alongside.
     """
+    has_mask_head = any(k.startswith("mask_head.") for k in state_dict)
+    seg_tree = (
+        _convert_segmentation_head(state_dict, model_dim)
+        if has_mask_head
+        else None
+    )
+    if any(k.startswith("detr.") for k in state_dict):
+        state_dict = {
+            k[len("detr."):]: v
+            for k, v in state_dict.items()
+            if k.startswith("detr.")
+        }
+
     keys = list(state_dict.keys())
     if scheme == "auto":
         scheme = "hf" if any(k.startswith("model.") for k in keys) else "facebook"
@@ -267,6 +327,8 @@ def convert_torch_detr(
             f"layer_{j}": _linear(state_dict, f"{bbox}.{j}") for j in range(3)
         },
     }
+    if seg_tree is not None:
+        params.update(seg_tree)
     return {"params": params, "frozen": {"backbone": bb_frozen}}
 
 

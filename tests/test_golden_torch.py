@@ -290,3 +290,73 @@ def test_resnet101_converter_shapes():
     ref_shapes = jax.tree.map(lambda x: tuple(x.shape), ref)
     got_shapes = jax.tree.map(lambda x: tuple(np.asarray(x).shape), converted)
     assert ref_shapes == got_shapes
+
+
+@pytest.fixture(scope="module")
+def torch_detr_seg():
+    """Random-weight HF DetrForSegmentation (panoptic head) — validates
+    the mask_head/bbox_attention converter + MaskHead forward parity.
+    Mirrors facebook's DETRsegm (models/segmentation.py cites both)."""
+    from transformers import DetrConfig, DetrForSegmentation, ResNetConfig
+
+    bb = ResNetConfig(
+        out_features=["stage1", "stage2", "stage3", "stage4"]
+    )
+    cfg = DetrConfig(
+        use_timm_backbone=False,
+        use_pretrained_backbone=False,
+        backbone_config=bb,
+        num_labels=91,
+        encoder_layers=2,
+        decoder_layers=2,
+        dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(3)
+    model = DetrForSegmentation(cfg).eval()
+    sd = model.state_dict()
+    g = torch.Generator().manual_seed(4)
+    for k, v in sd.items():
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+    model.load_state_dict(sd)
+    return model
+
+
+def test_segmentation_forward_parity(torch_detr_seg):
+    """Full-stack panoptic parity: detector outputs AND per-query mask
+    logits must match HF DetrForSegmentation given the converted
+    checkpoint (joint heads+space softmax, split-lay1 trick, FPN fusion,
+    GroupNorm trunk)."""
+    rng = np.random.default_rng(11)
+    img = rng.normal(size=(2, 96, 128, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = torch_detr_seg(
+            pixel_values=torch.from_numpy(img.transpose(0, 3, 1, 2)),
+        )
+
+    variables = convert_torch_detr(
+        torch_detr_seg.state_dict(), scheme="auto",
+        num_encoder_layers=2, num_decoder_layers=2,
+    )
+    model = DETR(
+        num_classes=92, num_encoder_layers=2, num_decoder_layers=2,
+        dropout=0.0, masks=True,
+    )
+    out = model.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(img))
+
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]), t_out.pred_boxes.numpy(),
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), t_out.logits.numpy(),
+        atol=2e-3, rtol=1e-3,
+    )
+    t_masks = t_out.pred_masks.numpy()  # (B, Q, H/4, W/4)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_masks"]), t_masks, atol=5e-3, rtol=1e-3,
+    )

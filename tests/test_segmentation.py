@@ -172,8 +172,13 @@ class TestMaskHead:
         variables = mod.init(jax.random.PRNGKey(0), queries, memory)
         attn = mod.apply(variables, queries, memory, key_padding_mask=jnp.asarray(kpm))
         attn = np.asarray(attn)  # (1, 3, 4, 2, 4)
+        # Paper/torch semantics: one softmax over (heads x space) jointly
+        # (facebook MHAttentionMap flattens before the softmax), so the
+        # distribution normalizes per query, not per head.
+        np.testing.assert_allclose(
+            attn.reshape(1, 3, -1).sum(-1), 1.0, rtol=1e-5
+        )
         flat = attn.reshape(1, 3, 4, 8)
-        np.testing.assert_allclose(flat.sum(-1), 1.0, rtol=1e-5)
         assert flat[..., 5:].max() < 1e-6
 
     def test_bucket_padding_exactness(self, seg_model):
