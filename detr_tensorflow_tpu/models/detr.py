@@ -62,6 +62,8 @@ class DETR(nn.Module):
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
     masks: bool = False  # instance-segmentation head (beyond the
     # reference, whose mask AP row is a zero placeholder — eval.py:54)
+    backbone_quant: bool = False  # int8 PTQ backbone (inference): reads
+    # the qtree from the "quant" collection (models/quantized.py)
 
     @nn.compact
     def __call__(self, images, pixel_mask=None, train=False):
@@ -74,14 +76,35 @@ class DETR(nn.Module):
         stage_sizes = self.backbone_stage_sizes or {
             50: (3, 4, 6, 3), 101: (3, 4, 23, 3)
         }[self.backbone_depth]
-        backbone_out = ResNetBackbone(
-            stage_sizes=stage_sizes,
-            replace_stride_with_dilation=(False, False, self.dilation),
-            dtype=self.dtype,
-            fuse_residual=self.fuse_residual,
-            return_interm=self.masks,
-            name="backbone",
-        )(images.astype(self.dtype), pixel_mask=pixel_mask)
+        if self.backbone_quant:
+            # int8 post-training-quantized backbone: the folded/quantized
+            # qtree is supplied as variables["quant"]["backbone"]
+            # (models/quantized.py: calibrate_backbone + quantize_backbone).
+            from .quantized import quant_backbone_forward
+
+            qtree = self.variable(
+                "quant", "backbone",
+                lambda: (_ for _ in ()).throw(ValueError(
+                    "backbone_quant=True needs variables['quant']"
+                    "['backbone'] — build it with models.quantized."
+                    "quantize_backbone"
+                )),
+            ).value
+            backbone_out = quant_backbone_forward(
+                qtree, images,
+                stage_sizes=stage_sizes, dilation=self.dilation,
+                pixel_mask=pixel_mask, return_interm=self.masks,
+                compute_dtype=self.dtype,
+            )
+        else:
+            backbone_out = ResNetBackbone(
+                stage_sizes=stage_sizes,
+                replace_stride_with_dilation=(False, False, self.dilation),
+                dtype=self.dtype,
+                fuse_residual=self.fuse_residual,
+                return_interm=self.masks,
+                name="backbone",
+            )(images.astype(self.dtype), pixel_mask=pixel_mask)
         feats, fpn_feats = backbone_out if self.masks else (backbone_out, None)
         b, fh, fw, _ = feats.shape
 
