@@ -11,3 +11,9 @@ from .mesh import (  # noqa: F401
     replicate,
 )
 from .tp import detr_param_shardings, shard_params  # noqa: F401
+from .pp import (  # noqa: F401
+    pipeline_forward,
+    pipeline_transformer_encoder,
+    split_layers_into_stages,
+    stack_stage_params,
+)

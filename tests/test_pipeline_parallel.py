@@ -1,0 +1,151 @@
+"""Pipeline parallelism (parallel/pp.py): GPipe schedule correctness,
+differentiability, DP x PP mesh composition, and a real DETR encoder
+stack pipelined over stages — all on the simulated 8-device CPU mesh
+(tests/conftest.py), the same path the driver's multichip dryrun
+validates. (SURVEY.md §2.6: the reference has no parallelism at all.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detr_tensorflow_tpu.parallel import make_mesh
+from detr_tensorflow_tpu.parallel.pp import (
+    pipeline_forward,
+    pipeline_transformer_encoder,
+    scan_layers,
+    split_layers_into_stages,
+    stack_stage_params,
+)
+
+
+def _toy_stage(p, x):
+    return jnp.tanh(x @ p["w"] + p["b"])
+
+
+def _toy_params(rng, n, d):
+    return [
+        {
+            "w": jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3),
+            "b": jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+        }
+        for _ in range(n)
+    ]
+
+
+class TestPipelineForward:
+    @pytest.mark.parametrize("n_micro", [2, 4, 8])
+    def test_matches_sequential(self, rng, n_micro):
+        mesh = make_mesh(4, axis_names=("stage",))
+        params = _toy_params(rng, 4, 16)
+        x = jnp.asarray(rng.normal(size=(8, 5, 16)).astype(np.float32))
+
+        ref = x
+        for p in params:
+            ref = _toy_stage(p, ref)
+
+        out = pipeline_forward(
+            _toy_stage, stack_stage_params(params), x, mesh,
+            n_micro=n_micro,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_jit_and_grads_match(self, rng):
+        """The pipelined program differentiates end-to-end (scan +
+        ppermute + psum transpose rules) and grads equal the sequential
+        model's."""
+        mesh = make_mesh(4, axis_names=("stage",))
+        params = _toy_params(rng, 4, 8)
+        stacked = stack_stage_params(params)
+        x = jnp.asarray(rng.normal(size=(4, 3, 8)).astype(np.float32))
+
+        def seq_loss(ps, x):
+            h = x
+            for i in range(4):
+                h = _toy_stage(jax.tree.map(lambda a: a[i], ps), h)
+            return (h ** 2).sum()
+
+        def pp_loss(ps, x):
+            return (
+                pipeline_forward(_toy_stage, ps, x, mesh, n_micro=4) ** 2
+            ).sum()
+
+        g_seq = jax.grad(seq_loss)(stacked, x)
+        g_pp = jax.jit(jax.grad(pp_loss))(stacked, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            g_seq, g_pp,
+        )
+
+    def test_dp_pp_composition(self, rng):
+        """2-way data x 4-way stage on one mesh: batch shards over
+        'data', stages rotate over 'stage', output matches sequential."""
+        mesh = make_mesh(8, axis_names=("data", "stage"), axis_sizes=(2, 4))
+        params = _toy_params(rng, 4, 16)
+        x = jnp.asarray(rng.normal(size=(8, 5, 16)).astype(np.float32))
+
+        ref = x
+        for p in params:
+            ref = _toy_stage(p, ref)
+
+        out = jax.jit(
+            lambda ps, x: pipeline_forward(
+                _toy_stage, ps, x, mesh, n_micro=4, data_axis="data"
+            )
+        )(stack_stage_params(params), x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_split_layers_into_stages_shapes(self, rng):
+        params = _toy_params(rng, 8, 4)
+        staged = split_layers_into_stages(params, 4)
+        assert staged["w"].shape == (4, 2, 4, 4)
+        # Stage 1, sublayer 0 must be original layer 2.
+        np.testing.assert_array_equal(
+            np.asarray(staged["w"][1, 0]), np.asarray(params[2]["w"])
+        )
+
+
+class TestDetrEncoderPipeline:
+    def test_encoder_stack_pipelined(self, rng):
+        """The real EncoderLayer (models/transformer.py) pipelined over
+        4 stages x 2 layers reproduces the sequential 8-layer stack."""
+        from detr_tensorflow_tpu.models.transformer import EncoderLayer
+
+        d, heads = 32, 4
+        layer = EncoderLayer(
+            model_dim=d, num_heads=heads, dim_feedforward=64, dropout=0.0
+        )
+        b, s = 4, 12
+        src = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        # (1, s, d): positions broadcast over whatever microbatch size
+        # the schedule picks (they are per-location, shared across the
+        # batch in this test).
+        pos = jnp.asarray(rng.normal(size=(1, s, d)).astype(np.float32))
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 8)
+        layer_params = [
+            layer.init(k, src, pos)["params"] for k in keys
+        ]
+
+        ref = src
+        for p in layer_params:
+            ref = layer.apply({"params": p}, ref, pos)
+
+        mesh = make_mesh(4, axis_names=("stage",))
+        out = jax.jit(
+            lambda ps, src, pos: pipeline_transformer_encoder(
+                lambda p, a: layer.apply({"params": p}, a, pos),
+                # already-split params come through pipeline_transformer_
+                # encoder's own splitter; pass the raw per-layer list
+                ps, src, mesh, n_micro=4,
+            ),
+            static_argnums=(),
+        )(layer_params, src, pos)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
