@@ -440,3 +440,87 @@ def test_merge_instance_masks():
         background_class=3,
     )
     assert (np.asarray(seg2) == -1).all()
+
+
+class TestPanopticQuality:
+    """metrics/pq.py — PQ = SQ x RQ over IoU>0.5 matches (the DETR
+    paper's panoptic benchmark number; the reference has no masks)."""
+
+    def _img(self):
+        # Two GT segments of classes 1 and 2 on a 8x12 canvas.
+        g1 = np.zeros((8, 12), bool); g1[:4, :6] = True
+        g2 = np.zeros((8, 12), bool); g2[4:, 6:] = True
+        return g1, g2
+
+    def test_perfect_prediction(self):
+        from detr_tensorflow_tpu.metrics import panoptic_quality
+
+        g1, g2 = self._img()
+        seg = np.full((8, 12), -1, np.int32)
+        seg[g1] = 0
+        seg[g2] = 1
+        labels = np.asarray([1, 2, 0])
+        out = panoptic_quality(
+            [seg], [labels], [np.stack([g1, g2])], [np.asarray([1, 2])]
+        )
+        assert out["pq"] == pytest.approx(1.0)
+        assert out["sq"] == pytest.approx(1.0)
+        assert out["rq"] == pytest.approx(1.0)
+        assert out["n_classes"] == 2
+
+    def test_partial_overlap_and_fp(self):
+        from detr_tensorflow_tpu.metrics import panoptic_quality
+
+        g1, g2 = self._img()
+        seg = np.full((8, 12), -1, np.int32)
+        # Pred 0 covers 3/4 of g1 (IoU 0.75 -> TP for class 1);
+        # pred 1 is class 2 but placed on empty ground (FP);
+        # g2 goes unmatched (FN).
+        sub = np.zeros((8, 12), bool); sub[:3, :6] = True
+        seg[sub] = 0
+        seg[0:2, 8:10] = 1
+        labels = np.asarray([1, 2])
+        out = panoptic_quality(
+            [seg], [labels], [np.stack([g1, g2])], [np.asarray([1, 2])]
+        )
+        c1, c2 = out["per_class"][1], out["per_class"][2]
+        assert c1["tp"] == 1 and c1["fp"] == 0 and c1["fn"] == 0
+        assert c1["sq"] == pytest.approx(0.75)
+        assert c2["tp"] == 0 and c2["fp"] == 1 and c2["fn"] == 1
+        assert c2["pq"] == 0.0
+        assert out["pq"] == pytest.approx((0.75 + 0.0) / 2)
+
+    def test_wrong_class_is_fp_and_fn(self):
+        from detr_tensorflow_tpu.metrics import panoptic_quality
+
+        g1, _ = self._img()
+        seg = np.full((8, 12), -1, np.int32)
+        seg[g1] = 0
+        labels = np.asarray([2])  # exact mask, wrong class
+        out = panoptic_quality([seg], [labels], [g1[None]], [np.asarray([1])])
+        assert out["per_class"][1]["fn"] == 1
+        assert out["per_class"][2]["fp"] == 1
+        assert out["pq"] == 0.0
+
+    def test_from_model_outputs(self):
+        """End-to-end: logits+masks -> merge -> PQ == 1 for a clean
+        construction (exercises panoptic_quality_from_outputs)."""
+        from detr_tensorflow_tpu.metrics import panoptic_quality_from_outputs
+
+        g1, g2 = self._img()
+        Q, C = 4, 4  # class 3 = background
+        logits = np.full((1, Q, C), -8.0, np.float32)
+        logits[0, 0, 1] = 8.0   # query 0 -> class 1
+        logits[0, 1, 2] = 8.0   # query 1 -> class 2
+        logits[0, 2, 3] = 8.0   # background query
+        logits[0, 3, 3] = 8.0
+        masks = np.full((1, Q, 8, 12), -8.0, np.float32)
+        masks[0, 0][g1] = 8.0
+        masks[0, 1][g2] = 8.0
+        out = panoptic_quality_from_outputs(
+            {"pred_logits": jnp.asarray(logits),
+             "pred_masks": jnp.asarray(masks)},
+            [np.stack([g1, g2])], [np.asarray([1, 2])],
+            background_class=3,
+        )
+        assert out["pq"] == pytest.approx(1.0)
