@@ -31,7 +31,7 @@ def build_model(config, masks: bool = False):
     return get_detr_model(config, include_top=True, weights="detr", masks=masks)
 
 
-def eval_model(model, config, class_names, valid_dt):
+def eval_model(model, config, class_names, valid_dt, report_pq: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,7 @@ def eval_model(model, config, class_names, valid_dt):
     def _post(outputs, pixel_mask):
         post = inference.postprocess(outputs, background, "yxyx")
         if "pred_masks" not in outputs:
-            return post, None
+            return post, None, None
         probs = jax.nn.sigmoid(outputs["pred_masks"].astype(jnp.float32))
         if pixel_mask is not None:
             from detr_tensorflow_tpu.models.layers import feature_valid_mask
@@ -48,7 +48,10 @@ def eval_model(model, config, class_names, valid_dt):
             _, _, h4, w4 = probs.shape
             valid4 = feature_valid_mask(pixel_mask, h4, w4)
             probs = probs * valid4[:, None]
-        return post, probs > 0.5
+        seg_map = None
+        if report_pq:
+            seg_map, _ = inference.merge_instance_masks(outputs, background)
+        return post, probs > 0.5, seg_map
 
     # One fused XLA program per bucket shape: forward + postprocess.
     @jax.jit
@@ -62,13 +65,14 @@ def eval_model(model, config, class_names, valid_dt):
         return _post(outputs, None)
 
     evaluator = MeanAPEvaluator(num_classes=len(class_names), class_names=class_names)
+    pq_pred_maps, pq_pred_labels, pq_gt_masks, pq_gt_classes = [], [], [], []
     for it, batch in enumerate(valid_dt):
         if "pixel_mask" in batch:
-            (boxes_, labels_, scores_, keep_), masks_ = run(
+            (boxes_, labels_, scores_, keep_), masks_, seg_ = run(
                 model.variables, batch["images"], batch["pixel_mask"]
             )
         else:
-            (boxes_, labels_, scores_, keep_), masks_ = run_nomask(
+            (boxes_, labels_, scores_, keep_), masks_, seg_ = run_nomask(
                 model.variables, batch["images"]
             )
         keep0 = np.asarray(keep_[0])
@@ -91,8 +95,25 @@ def eval_model(model, config, class_names, valid_dt):
             p_bbox, p_labels, p_scores, t_yxyx, batch["classes"][0][:n],
             p_masks=p_masks, t_masks=t_masks,
         )
+        if report_pq and seg_ is not None and t_masks is not None:
+            pq_pred_maps.append(np.asarray(seg_[0]))
+            pq_pred_labels.append(np.asarray(labels_[0]))
+            pq_gt_masks.append(t_masks.transpose(2, 0, 1).astype(bool))
+            pq_gt_classes.append(np.asarray(batch["classes"][0][:n]))
         print(f"Computing map.....{it}", end="\r")
-    return evaluator.print_table()
+    table = evaluator.print_table()
+    if report_pq and pq_pred_maps:
+        from detr_tensorflow_tpu.metrics import panoptic_quality
+
+        pq = panoptic_quality(
+            pq_pred_maps, pq_pred_labels, pq_gt_masks, pq_gt_classes
+        )
+        print(
+            f"       |  PQ: {100 * pq['pq']:.2f}  |  SQ: {100 * pq['sq']:.2f}"
+            f"  |  RQ: {100 * pq['rq']:.2f}  | ({pq['n_classes']} classes)"
+        )
+        table["pq"] = pq
+    return table
 
 
 if __name__ == "__main__":
@@ -110,6 +131,11 @@ if __name__ == "__main__":
         "--masks", action="store_true",
         help="run the instance-segmentation head and score a real mask "
              "AP row (the reference's is a zero placeholder).",
+    )
+    parser.add_argument(
+        "--pq", action="store_true",
+        help="with --masks: also report Panoptic Quality (PQ/SQ/RQ) over "
+             "the panoptic pixel-argmax merge (metrics/pq.py).",
     )
     parser.add_argument(
         "--paper_protocol", action="store_true",
@@ -130,4 +156,5 @@ if __name__ == "__main__":
         paper_protocol=(800, 1333) if args.paper_protocol else None,
     )
     config = config.replace(background_class=valid_dt.background_class)
-    eval_model(detr, config, class_names, valid_dt)
+    eval_model(detr, config, class_names, valid_dt,
+               report_pq=args.pq and args.masks)

@@ -257,6 +257,10 @@ def test_mask_finetune_and_eval_flow(coco_root_seg):
         num_workers=1, include_masks=True,
     )
     bundle = DetrModel(model.module, trainer.variables)
-    table = eval_mod.eval_model(bundle, config, class_names, valid_dt)
+    table = eval_mod.eval_model(
+        bundle, config, class_names, valid_dt, report_pq=True
+    )
     assert np.isfinite(table["mask"]["all"])
     assert np.isfinite(table["box"]["all"])
+    # --pq path: PQ/SQ/RQ computed over the panoptic merge
+    assert "pq" in table and 0.0 <= table["pq"]["pq"] <= 1.0
