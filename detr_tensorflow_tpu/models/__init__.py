@@ -6,3 +6,9 @@ from .transformer import Transformer, MultiHeadAttention  # noqa: F401
 from .position import sine_position_embedding  # noqa: F401
 from .layers import FrozenBatchNorm, MLP  # noqa: F401
 from .api import DetrModel, build_detr, get_detr_model  # noqa: F401
+from .quantized import (  # noqa: F401
+    calibrate_backbone,
+    quant_backbone_forward,
+    quantize_backbone,
+    quantize_model,
+)

@@ -194,3 +194,27 @@ class TestDetrIntegration:
         variables = dict(fp32.init(jax.random.PRNGKey(0), img))
         with pytest.raises(Exception):
             DETR(**kw, backbone_quant=True).apply(variables, img)
+
+
+def test_backbone_quant_with_masks(rng):
+    """The int8 backbone's dequantized c2-c4 interm maps feed the
+    segmentation FPN head: DETR(masks=True, backbone_quant=True) runs
+    and produces mask logits of the right shape."""
+    kw = dict(
+        num_classes=7, num_queries=10, model_dim=32, num_heads=4,
+        num_encoder_layers=1, num_decoder_layers=1, dim_feedforward=64,
+        dropout=0.0, backbone_stage_sizes=(1, 1, 1, 1), masks=True,
+    )
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    fp32 = DETR(**kw)
+    variables = dict(fp32.init(jax.random.PRNGKey(0), img))
+    qv = Q.quantize_model(variables, img, stage_sizes=(1, 1, 1, 1))
+    out = DETR(**kw, backbone_quant=True).apply(qv, img)
+    assert out["pred_masks"].shape == (1, 10, 16, 16)
+    ref = fp32.apply(variables, img)
+    # PTQ noise flows through attention maps + FPN; demand coherence.
+    corr = np.corrcoef(
+        np.asarray(out["pred_masks"]).ravel(),
+        np.asarray(ref["pred_masks"]).ravel(),
+    )[0, 1]
+    assert corr > 0.9, corr
