@@ -20,7 +20,9 @@ Composition: the ``shard_map`` in/out specs carry an optional data axis
 alongside the stage axis, so DP x PP runs as one mesh
 (``make_mesh(axis_names=("data", "stage"), ...)``) with gradient
 all-reduce over ``data`` inserted by GSPMD outside the shard_map as
-usual. TP composes inside a stage via parallel/tp.py annotations.
+usual (tested). Layering TP *inside* a stage would use shard_map's
+auto-axes (manual over ``stage``, GSPMD over ``model``) — left for a
+model that actually needs three axes at once.
 
 At DETR scale (41M params) PP is not *needed* — this is the framework
 capability that lets the same codebase scale a deeper/wider variant
