@@ -149,3 +149,32 @@ class TestDetrEncoderPipeline:
         )(layer_params, src, pos)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestScheduleEdges:
+    def test_n_micro_equals_stages(self, rng):
+        """Minimum-occupancy schedule (bubble 50%) still exact."""
+        mesh = make_mesh(4, axis_names=("stage",))
+        params = _toy_params(rng, 4, 8)
+        x = jnp.asarray(rng.normal(size=(4, 3, 8)).astype(np.float32))
+        ref = x
+        for p in params:
+            ref = _toy_stage(p, ref)
+        out = pipeline_forward(
+            _toy_stage, stack_stage_params(params), x, mesh, n_micro=4
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_two_stage_many_micro(self, rng):
+        mesh = make_mesh(2, axis_names=("stage",))
+        params = _toy_params(rng, 2, 8)
+        x = jnp.asarray(rng.normal(size=(16, 2, 8)).astype(np.float32))
+        ref = x
+        for p in params:
+            ref = _toy_stage(p, ref)
+        out = pipeline_forward(
+            _toy_stage, stack_stage_params(params), x, mesh, n_micro=16
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -218,3 +218,46 @@ def test_backbone_quant_with_masks(rng):
         np.asarray(ref["pred_masks"]).ravel(),
     )[0, 1]
     assert corr > 0.9, corr
+
+
+def test_pick_row_tile_rules():
+    """Auto row tiles: largest multiple-of-8 divisor of padded H, capped
+    at 32 (larger element-window tiles crash this env's Mosaic AOT)."""
+    from detr_tensorflow_tpu.ops.pallas.int8_conv import _pick_row_tile
+
+    assert _pick_row_tile(200) == 8       # 200 = 8 x 25
+    assert _pick_row_tile(104) == 8
+    assert _pick_row_tile(56) == 8
+    assert _pick_row_tile(32) == 32
+    assert _pick_row_tile(96) == 32
+    assert _pick_row_tile(48) == 24
+
+
+def test_qmatmul_nondivisible_m(rng):
+    """M not divisible by the tile: padded rows must not leak into the
+    valid output."""
+    from detr_tensorflow_tpu.ops.pallas.int8_matmul import qmatmul
+
+    x = jnp.asarray(rng.integers(-128, 128, (3, 5, 7, 16), np.int8))  # M=105
+    w = jnp.asarray(rng.integers(-128, 128, (16, 8), np.int8))
+    s = jnp.full((8,), 1e-2, jnp.float32)
+    b = jnp.zeros((8,), jnp.float32)
+    got = qmatmul(x, w, s, b, m_tile=32)
+    acc = jnp.einsum("bhwc,ck->bhwk", x.astype(np.int32), w.astype(np.int32))
+    ref = jnp.clip(jnp.round(jnp.maximum(acc * s + b, 0)), -128, 127
+                   ).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fast_epilogue_within_one_lsb(rng):
+    """precise=False (bf16 epilogue, round-half-up) stays within 1 LSB
+    of the bit-exact f32 epilogue."""
+    from detr_tensorflow_tpu.ops.pallas.int8_matmul import qmatmul
+
+    x = jnp.asarray(rng.integers(-128, 128, (64, 32), np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (32, 48), np.int8))
+    s = jnp.asarray(rng.uniform(1e-4, 1e-2, 48).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=48).astype(np.float32))
+    fast = np.asarray(qmatmul(x, w, s, b, precise=False, m_tile=32), np.int32)
+    prec = np.asarray(qmatmul(x, w, s, b, precise=True, m_tile=32), np.int32)
+    assert np.abs(fast - prec).max() <= 1
