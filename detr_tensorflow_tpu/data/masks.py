@@ -105,9 +105,12 @@ def pad_instance_masks(
 
     Returns (T, ceil(H/stride), ceil(W/stride)) uint8.
     """
-    n, h, w = masks.shape if len(masks) else (0, 0, 0)
-    if n == 0:
-        raise ValueError("pad_instance_masks needs at least shape info")
+    masks = np.asarray(masks)
+    if masks.ndim != 3:
+        raise ValueError(
+            f"pad_instance_masks needs (n, H, W) masks, got {masks.shape}"
+        )
+    n, h, w = masks.shape  # n == 0 is fine: shape still carries H, W
     hs = -(-h // stride)
     ws = -(-w // stride)
     out = np.zeros((max_targets, hs, ws), np.uint8)

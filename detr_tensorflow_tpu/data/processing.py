@@ -138,9 +138,15 @@ def make_eval_example(
     config,
     bucket_divisor: int = 128,
     inst_masks: np.ndarray = None,
+    full_res_masks: bool = False,
 ):
     """Original-size evaluation example: bucket-pad + pixel mask + box
     rescale, in one dict ready for ``stack_batch``.
+
+    full_res_masks additionally stores the instance masks at full
+    (bucket-frame) resolution as ``t_masks_full`` (n, PH, PW) uint8 —
+    ragged in n, so only valid with batch_size 1 — for COCO-protocol
+    mask scoring (mask IoU at original image resolution).
 
     Shared by the COCO and VOC loaders' ``augmentation=None`` path —
     the TPU-native replacement for the reference's eager per-shape
@@ -193,15 +199,14 @@ def make_eval_example(
         from .masks import pad_instance_masks
 
         n = len(inst_masks)
-        bucketed = np.zeros((max(n, 1), ph, pw), np.uint8)
-        if n:
-            bucketed[:, :h, :w] = inst_masks
+        bucketed = np.zeros((n, ph, pw), np.uint8)
+        bucketed[:, :h, :w] = inst_masks
         example["t_masks"] = pad_instance_masks(
             bucketed,
             getattr(config, "num_queries", MAX_TARGETS),
         )
-        if n == 0:
-            example["t_masks"][:] = 0
+        if full_res_masks:
+            example["t_masks_full"] = bucketed
     return example
 
 

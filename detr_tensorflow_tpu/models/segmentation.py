@@ -33,6 +33,28 @@ Dtype = Any
 _NEG_INF = -1e9
 
 
+def nearest_upsample_floor(x: jnp.ndarray, sh: int, sw: int) -> jnp.ndarray:
+    """Nearest-neighbor resize of (N, H, W, C) to (N, sh, sw, C) with the
+    *floor* index mapping ``src = (dst * H) // sh``.
+
+    Two properties the half-pixel mapping of ``jax.image.resize`` lacks:
+
+      * torch parity — ``F.interpolate(mode="nearest")`` uses exactly this
+        floor mapping, so converted checkpoints reproduce at every size,
+        not just exact-power-of-two stage ratios;
+      * padding invariance — on a bucket-padded canvas the stage ratio is
+        exactly 2 and the map is ``i // 2``; for an unpadded image with
+        valid extents ``fh = ceil(h/2s), sh = ceil(h/s)`` the floor map
+        equals ``i // 2`` on the whole valid range (sh is 2fh or 2fh-1,
+        and ``(i*fh)//(2fh-1) == i//2`` for all i < 2fh-1), so the valid
+        region's lattice is independent of how much padding the bucket
+        added.
+    """
+    rows = (jnp.arange(sh) * x.shape[1]) // sh
+    cols = (jnp.arange(sw) * x.shape[2]) // sw
+    return x[:, rows][:, :, cols]
+
+
 class MHAttentionMap(nn.Module):
     """Per-query multi-head attention score maps over the memory.
 
@@ -235,13 +257,19 @@ class MaskHead(nn.Module):
             adapter = nn.Conv(
                 cur, (1, 1), dtype=self.dtype, name=f"adapter{i - 2}"
             )(feat)  # (B, sh, sw, cur), per image
-            x = jax.image.resize(
-                x, (b * nq, sh, sw, cur), method="nearest"
-            )
+            x = nearest_upsample_floor(x, sh, sw)
             vs = stage_valid(sh, sw)
+            x = x.reshape(b, nq, sh, sw, cur)
             if vs is not None:
                 adapter = adapter * vs[..., None].astype(adapter.dtype)
-            x = x.reshape(b, nq, sh, sw, cur) + adapter[:, None]
+                # Re-zero the upsampled trunk outside THIS stage's valid
+                # region: when the valid extent isn't a clean multiple,
+                # the nearest upsample replicates a *valid* edge cell
+                # into padded cells (e.g. stride-16 col 5 <- valid col 2
+                # for w=68 in a 96 bucket), and the next conv's halo
+                # would read it where the unpadded forward reads zeros.
+                x = x * vs[:, None, :, :, None].astype(x.dtype)
+            x = x + adapter[:, None]
             x = conv(dim, f"lay{i}")(x.reshape(b * nq, sh, sw, cur))
             x = apply_gn(i, x, vs)
 

@@ -325,13 +325,16 @@ def torch_detr_seg():
     return model
 
 
-def test_segmentation_forward_parity(torch_detr_seg):
+@pytest.mark.parametrize("size", [(96, 128), (100, 148)])
+def test_segmentation_forward_parity(torch_detr_seg, size):
     """Full-stack panoptic parity: detector outputs AND per-query mask
     logits must match HF DetrForSegmentation given the converted
     checkpoint (joint heads+space softmax, split-lay1 trick, FPN fusion,
-    GroupNorm trunk)."""
+    GroupNorm trunk). 100x148 exercises non-exact stage ratios
+    (148: 19->10 at stride 8->16) where the trunk upsample must use
+    torch's floor index mapping (ADVICE r2)."""
     rng = np.random.default_rng(11)
-    img = rng.normal(size=(2, 96, 128, 3)).astype(np.float32)
+    img = rng.normal(size=(2, *size, 3)).astype(np.float32)
 
     with torch.no_grad():
         t_out = torch_detr_seg(

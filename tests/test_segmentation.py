@@ -88,6 +88,19 @@ class TestRasterization:
         assert out.shape == (5, 8, 12)
         assert out[:2].sum() == 2 * 8 * 12 and out[2:].sum() == 0
 
+    def test_pad_instance_masks_empty(self):
+        # (0, H, W) carries shape info — must not raise (the eval path
+        # feeds zero-instance images straight through).
+        out = seg_masks.pad_instance_masks(
+            np.zeros((0, 37, 53), np.uint8), max_targets=4, stride=4
+        )
+        assert out.shape == (4, 10, 14)
+        assert out.sum() == 0
+        with pytest.raises(ValueError):
+            seg_masks.pad_instance_masks(
+                np.zeros((5, 5), np.uint8), max_targets=4
+            )
+
 
 class TestMaskTransforms:
     def _box_mask(self, h, w, x0, y0, x1, y1):
@@ -216,6 +229,47 @@ class TestMaskHead:
         np.testing.assert_allclose(
             np.asarray(out["pred_boxes"]), np.asarray(ref["pred_boxes"]),
             atol=1e-4,
+        )
+
+    def test_nearest_upsample_floor_matches_torch(self):
+        """The trunk upsample must use torch's floor index mapping at
+        every (non-integer-ratio) size, not jax.image.resize's
+        half-pixel lattice (ADVICE r2: they diverge, e.g. 4->7)."""
+        torch = pytest.importorskip("torch")
+        from detr_tensorflow_tpu.models.segmentation import (
+            nearest_upsample_floor,
+        )
+
+        rng = np.random.default_rng(0)
+        for (fh, fw), (sh, sw) in [((4, 5), (7, 10)), ((3, 3), (6, 5)),
+                                   ((7, 9), (13, 17)), ((2, 2), (4, 4))]:
+            x = rng.normal(size=(2, fh, fw, 3)).astype(np.float32)
+            got = np.asarray(nearest_upsample_floor(jnp.asarray(x), sh, sw))
+            want = torch.nn.functional.interpolate(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(sh, sw),
+                mode="nearest",
+            ).numpy().transpose(0, 2, 3, 1)
+            np.testing.assert_array_equal(got, want)
+
+    def test_bucket_padding_exactness_odd_size(self, seg_model):
+        """Padding exactness at a NON-32-divisible valid size (52x68):
+        the stage lattices hit the ceil(2x)-1 ratios (68: 3->5->9->17)
+        where the old half-pixel resize picked different source rows on
+        the padded vs unpadded canvas (ADVICE r2 medium). The floor
+        mapping makes the valid-region lattice padding-independent."""
+        x = np.random.default_rng(2).normal(size=(1, 52, 68, 3)).astype(
+            np.float32
+        )
+        ref = np.asarray(seg_model(x)["pred_masks"])  # (1, Q, 13, 17)
+
+        padded = np.zeros((1, 64, 96, 3), np.float32)
+        padded[:, :52, :68] = x
+        pm = np.zeros((1, 64, 96), bool)
+        pm[:, :52, :68] = True
+        out = seg_model(padded, pixel_mask=pm)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_masks"])[:, :, :13, :17], ref,
+            rtol=1e-4, atol=1e-4,
         )
 
     def test_grads_flow(self, seg_model):
@@ -524,3 +578,111 @@ class TestPanopticQuality:
             background_class=3,
         )
         assert out["pq"] == pytest.approx(1.0)
+
+
+class TestFullResProtocol:
+    """COCO-protocol (original-resolution) mask scoring helpers
+    (inference.py): bilinear upsample parity with torch, crop
+    semantics, and the full-res panoptic merge."""
+
+    def test_np_bilinear_resize_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from detr_tensorflow_tpu.inference import np_bilinear_resize
+
+        rng = np.random.default_rng(0)
+        for (h, w, c), (oh, ow) in [((13, 17, 5), (52, 68)),
+                                    ((7, 9, 1), (25, 33)),
+                                    ((16, 24, 3), (61, 97)),
+                                    ((5, 5, 2), (5, 5))]:
+            x = rng.normal(size=(h, w, c)).astype(np.float32)
+            got = np_bilinear_resize(x, oh, ow)
+            want = torch.nn.functional.interpolate(
+                torch.from_numpy(x.transpose(2, 0, 1)[None]), size=(oh, ow),
+                mode="bilinear", align_corners=False,
+            )[0].numpy().transpose(1, 2, 0)
+            # cv2's INTER_LINEAR uses 2^-11 fixed-point weights; the
+            # numpy fallback is exact. Same half-pixel lattice either way.
+            np.testing.assert_allclose(got, want, atol=3e-3)
+            exact = np_bilinear_resize(
+                np.tile(x, (1, 1, (512 // c) + 1)), oh, ow
+            )[..., :c]  # >512 channels forces the numpy path
+            np.testing.assert_allclose(exact, want, atol=1e-5)
+
+    def test_np_bilinear_resize_2d_and_fallback(self, monkeypatch):
+        from detr_tensorflow_tpu import inference as inf
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(6, 8)).astype(np.float32)
+        with_cv2 = inf.np_bilinear_resize(x, 17, 23)
+        assert with_cv2.shape == (17, 23)
+        # numpy fallback (cv2 channel limit exceeded) must agree
+        xc = np.repeat(x[..., None], 600, axis=-1)  # > 512 channels
+        fb = inf.np_bilinear_resize(xc, 17, 23)
+        np.testing.assert_allclose(fb[..., 0], with_cv2, atol=2e-6)
+
+    def test_upsample_mask_probs_crop(self):
+        """Only the valid ceil(H/4) x ceil(W/4) cells feed the upsample:
+        padded cells (zeroed or not) must not leak into the image frame."""
+        from detr_tensorflow_tpu.inference import upsample_mask_probs
+
+        probs = np.zeros((2, 16, 24), np.float32)  # padded 64x96 canvas
+        probs[:, :13, :17] = 1.0  # valid region for a 52x68 image
+        probs[:, 13:, 17:] = 7.0  # poison the padded cells
+        up = upsample_mask_probs(probs, (52, 68))
+        assert up.shape == (52, 68, 2)
+        np.testing.assert_allclose(up, 1.0)
+
+    def test_full_res_iou_matches_torch_reference(self):
+        """End-to-end fixture: mask IoUs computed through the full-res
+        scoring path equal an independent torch-based full-resolution
+        computation (VERDICT r2 item 2 'done' criterion)."""
+        torch = pytest.importorskip("torch")
+        from detr_tensorflow_tpu.inference import upsample_mask_probs
+        from detr_tensorflow_tpu.metrics.ap import mask_iou_matrix
+
+        rng = np.random.default_rng(3)
+        h, w = 50, 75  # non-divisible by 4
+        logits = rng.normal(size=(3, 16, 24)).astype(np.float32) * 3
+        probs = 1 / (1 + np.exp(-logits))
+        probs[:, 13:, :] = 0.0
+        probs[:, :, 19:] = 0.0  # valid extents ceil(50/4)=13, ceil(75/4)=19
+        gt = (rng.random((2, h, w)) > 0.6)
+
+        up = upsample_mask_probs(probs, (h, w))  # (H, W, 3)
+        got = mask_iou_matrix(up > 0.5, gt.transpose(1, 2, 0))
+
+        # independent torch reference at full resolution
+        t_up = torch.nn.functional.interpolate(
+            torch.from_numpy(probs[None, :, :13, :19]), size=(h, w),
+            mode="bilinear", align_corners=False,
+        )[0].numpy() > 0.5
+        want = np.zeros((3, 2))
+        for i in range(3):
+            for j in range(2):
+                inter = np.logical_and(t_up[i], gt[j]).sum()
+                union = np.logical_or(t_up[i], gt[j]).sum()
+                want[i, j] = inter / union if union else 0.0
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_np_merge_full_res_matches_device_merge(self):
+        """At an identity upsample the host merge must equal
+        merge_instance_masks' device rule exactly."""
+        import jax.numpy as jnp
+        from detr_tensorflow_tpu.inference import (
+            merge_instance_masks, np_merge_full_res,
+        )
+
+        rng = np.random.default_rng(4)
+        q, hm, wm = 5, 8, 11
+        logits_cls = rng.normal(size=(1, q, 4)).astype(np.float32)
+        logits_msk = rng.normal(size=(1, q, hm, wm)).astype(np.float32)
+        outputs = {"pred_logits": jnp.asarray(logits_cls),
+                   "pred_masks": jnp.asarray(logits_msk)}
+        dev_map, keep = merge_instance_masks(outputs, background_class=3)
+
+        probs = 1 / (1 + np.exp(-logits_msk[0]))
+        sm = np.exp(logits_cls[0]) / np.exp(logits_cls[0]).sum(-1, keepdims=True)
+        host_map = np_merge_full_res(
+            probs.transpose(1, 2, 0), sm.max(-1), sm.argmax(-1) != 3
+        )
+        np.testing.assert_array_equal(np.asarray(dev_map[0]), host_map)
