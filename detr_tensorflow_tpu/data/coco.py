@@ -99,6 +99,7 @@ def load_coco_dataset(
     seed: int = 0,
     include_masks: bool = False,
     paper_protocol: Optional[Tuple[int, int]] = None,
+    full_res_masks: bool = False,
 ):
     """Build (dataset, class_names).
 
@@ -172,7 +173,7 @@ def load_coco_dataset(
             )
         return processing.make_eval_example(
             image, t_bbox, t_class, config, bucket_divisor,
-            inst_masks=inst_masks,
+            inst_masks=inst_masks, full_res_masks=full_res_masks,
         )
 
     ids = coco.getImgIds()

@@ -120,6 +120,100 @@ def merge_instance_masks(
     return seg_map, keep
 
 
+# ---------------------------------------------------------------------------
+# Full-resolution (COCO-protocol) mask scoring helpers — host-side.
+#
+# COCO mask AP and panoptic PQ are defined at ORIGINAL image resolution
+# (cf. reference compute_map.py:85-105 operating on full-size masks);
+# the mask head emits stride-4 logits, so eval upsamples the cropped
+# valid region bilinearly to the image frame before thresholding —
+# exactly torch's F.interpolate(mode="bilinear", align_corners=False)
+# semantics (facebook PostProcessSegm), equivalence-tested in
+# tests/test_segmentation.py.
+# ---------------------------------------------------------------------------
+
+
+def np_bilinear_resize(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Half-pixel bilinear resize of (H, W, C) float arrays.
+
+    Matches torch ``F.interpolate(align_corners=False)`` / cv2
+    INTER_LINEAR. Uses cv2 when available (fast path); the numpy
+    fallback is the definition.
+    """
+    squeeze = x.ndim == 2
+    x = np.ascontiguousarray(x, np.float32)
+    if squeeze:
+        x = x[..., None]
+    h, w = x.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return x[..., 0] if squeeze else x
+    try:
+        import cv2
+
+        if x.shape[-1] <= 512:  # cv2 channel limit
+            out = cv2.resize(x, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+            if out.ndim == 2:
+                out = out[..., None]
+            return out[..., 0] if squeeze else out
+    except ImportError:
+        pass
+    # Pure-numpy half-pixel bilinear (the reference semantics).
+    def axis_coords(n_out, n_in):
+        c = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        c = np.clip(c, 0, n_in - 1)
+        lo = np.floor(c).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        return lo, hi, (c - lo).astype(np.float32)
+
+    ylo, yhi, wy = axis_coords(out_h, h)
+    xlo, xhi, wx = axis_coords(out_w, w)
+    top = x[ylo][:, xlo] * (1 - wx)[None, :, None] + x[ylo][:, xhi] * wx[None, :, None]
+    bot = x[yhi][:, xlo] * (1 - wx)[None, :, None] + x[yhi][:, xhi] * wx[None, :, None]
+    out = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+    return out[..., 0] if squeeze else out
+
+
+def upsample_mask_probs(
+    probs: np.ndarray, orig_hw: Tuple[int, int], stride: int = 4
+) -> np.ndarray:
+    """Upsample stride-``stride`` mask probabilities to the image frame.
+
+    Args:
+      probs: (Q, Hs, Ws) float probabilities on the (possibly padded)
+        stride-s lattice.
+      orig_hw: original (unpadded) image (H, W).
+
+    Returns (H, W, Q) float32: the valid ``ceil(H/s) x ceil(W/s)`` cells
+    cropped and bilinearly upsampled — the COCO-protocol frame for mask
+    IoU.
+    """
+    h, w = int(orig_hw[0]), int(orig_hw[1])
+    vh = -(-h // stride)
+    vw = -(-w // stride)
+    crop = np.asarray(probs, np.float32)[:, :vh, :vw].transpose(1, 2, 0)
+    return np_bilinear_resize(crop, h, w)
+
+
+def np_merge_full_res(
+    up_probs: np.ndarray,  # (H, W, Q) upsampled mask probabilities
+    scores: np.ndarray,  # (Q,)
+    keep: np.ndarray,  # (Q,) bool non-background
+    mask_threshold: float = 0.5,
+) -> np.ndarray:
+    """Panoptic pixel-argmax merge at full image resolution.
+
+    The host-side twin of ``merge_instance_masks`` operating on the
+    COCO-protocol (full-resolution) lattice: each pixel goes to the
+    non-background query maximizing ``score * mask_prob``; pixels whose
+    winning mask probability is below the threshold stay -1.
+    """
+    weighted = up_probs * np.where(keep, scores, 0.0)[None, None, :]
+    best_q = weighted.argmax(-1).astype(np.int32)  # (H, W)
+    best_prob = np.take_along_axis(up_probs, best_q[..., None], axis=-1)[..., 0]
+    best_kept = keep[best_q]
+    return np.where((best_prob > mask_threshold) & best_kept, best_q, -1)
+
+
 def get_model_inference(
     m_outputs: Dict[str, Array], background_class: int, bbox_format: str = "xy_center"
 ):

@@ -31,7 +31,18 @@ def build_model(config, masks: bool = False):
     return get_detr_model(config, include_top=True, weights="detr", masks=masks)
 
 
-def eval_model(model, config, class_names, valid_dt, report_pq: bool = False):
+def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
+               mask_lattice: str = "full", stuff_classes=None):
+    """mask_lattice:
+      * "full" (COCO protocol, default): predicted masks are cropped to
+        the valid stride-4 region, bilinearly upsampled to the original
+        image frame and thresholded; GT masks are scored at full
+        resolution (``t_masks_full``). Mask AP / PQ are comparable to
+        published numbers' protocol.
+      * "stride4": fast path — both sides on the padded stride-4
+        lattice (no resampling; round-2 behavior). Not comparable to
+        pycocotools numbers for small objects.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -49,9 +60,9 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False):
             valid4 = feature_valid_mask(pixel_mask, h4, w4)
             probs = probs * valid4[:, None]
         seg_map = None
-        if report_pq:
+        if report_pq:  # stride-4 merge; unused when full-res GT exists
             seg_map, _ = inference.merge_instance_masks(outputs, background)
-        return post, probs > 0.5, seg_map
+        return post, probs, seg_map
 
     # One fused XLA program per bucket shape: forward + postprocess.
     @jax.jit
@@ -66,13 +77,14 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False):
 
     evaluator = MeanAPEvaluator(num_classes=len(class_names), class_names=class_names)
     pq_pred_maps, pq_pred_labels, pq_gt_masks, pq_gt_classes = [], [], [], []
+    pq_gt_crowd, pq_void = [], []
     for it, batch in enumerate(valid_dt):
         if "pixel_mask" in batch:
-            (boxes_, labels_, scores_, keep_), masks_, seg_ = run(
+            (boxes_, labels_, scores_, keep_), probs_, seg_ = run(
                 model.variables, batch["images"], batch["pixel_mask"]
             )
         else:
-            (boxes_, labels_, scores_, keep_), masks_, seg_ = run_nomask(
+            (boxes_, labels_, scores_, keep_), probs_, seg_ = run_nomask(
                 model.variables, batch["images"]
             )
         keep0 = np.asarray(keep_[0])
@@ -85,33 +97,80 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False):
                 bbox_ops.np_xcycwh_to_xyxy(batch["boxes"][0][:n])
             )
         )
+        if "pixel_mask" in batch:
+            pm0 = np.asarray(batch["pixel_mask"][0])
+            orig_h = int(pm0[:, 0].sum())
+            orig_w = int(pm0[0, :].sum())
+        else:
+            orig_h, orig_w = batch["images"].shape[1:3]
         p_masks = t_masks = None
-        if masks_ is not None and "t_masks" in batch:
-            # Prediction and target masks live on the identical padded
-            # stride-4 lattice (data/processing.py) — IoU needs no resize.
-            p_masks = np.asarray(masks_[0])[keep0].transpose(1, 2, 0)
-            t_masks = batch["t_masks"][0][:n].transpose(1, 2, 0)
+        gt_masks_full = None
+        use_full = mask_lattice == "full" and "t_masks_full" in batch
+        if probs_ is not None and "t_masks" in batch:
+            if use_full:
+                # COCO protocol: score at original image resolution.
+                up = inference.upsample_mask_probs(
+                    np.asarray(probs_[0]), (orig_h, orig_w)
+                )  # (H, W, Q)
+                p_masks = up[:, :, keep0] > 0.5
+                gt_masks_full = (
+                    batch["t_masks_full"][0][:n, :orig_h, :orig_w] > 0
+                )
+                t_masks = gt_masks_full.transpose(1, 2, 0)
+                if report_pq:
+                    seg_full = inference.np_merge_full_res(
+                        up, np.asarray(scores_[0]), keep0
+                    )
+                    pq_pred_maps.append(seg_full)
+                    pq_pred_labels.append(np.asarray(labels_[0]))
+                    pq_gt_masks.append(gt_masks_full)
+                    pq_gt_classes.append(np.asarray(batch["classes"][0][:n]))
+                    pq_gt_crowd.append(
+                        np.asarray(batch["gt_is_crowd"][0])[:n]
+                        if "gt_is_crowd" in batch else None
+                    )
+                    pq_void.append(
+                        np.asarray(batch["void_mask"][0])[:orig_h, :orig_w]
+                        if "void_mask" in batch else None
+                    )
+            else:
+                # Prediction and target masks live on the identical
+                # padded stride-4 lattice (data/processing.py) — IoU
+                # needs no resize.
+                p_masks = np.asarray(probs_[0])[keep0].transpose(1, 2, 0) > 0.5
+                t_masks = batch["t_masks"][0][:n].transpose(1, 2, 0)
         evaluator.add_image(
             p_bbox, p_labels, p_scores, t_yxyx, batch["classes"][0][:n],
             p_masks=p_masks, t_masks=t_masks,
         )
-        if report_pq and seg_ is not None and t_masks is not None:
+        if (report_pq and seg_ is not None and t_masks is not None
+                and not use_full):
             pq_pred_maps.append(np.asarray(seg_[0]))
             pq_pred_labels.append(np.asarray(labels_[0]))
             pq_gt_masks.append(t_masks.transpose(2, 0, 1).astype(bool))
             pq_gt_classes.append(np.asarray(batch["classes"][0][:n]))
+            pq_gt_crowd.append(None)
+            pq_void.append(None)
         print(f"Computing map.....{it}", end="\r")
     table = evaluator.print_table()
     if report_pq and pq_pred_maps:
         from detr_tensorflow_tpu.metrics import panoptic_quality
 
         pq = panoptic_quality(
-            pq_pred_maps, pq_pred_labels, pq_gt_masks, pq_gt_classes
+            pq_pred_maps, pq_pred_labels, pq_gt_masks, pq_gt_classes,
+            gt_iscrowd=pq_gt_crowd, void_masks=pq_void,
+            stuff_classes=stuff_classes,
         )
         print(
             f"       |  PQ: {100 * pq['pq']:.2f}  |  SQ: {100 * pq['sq']:.2f}"
             f"  |  RQ: {100 * pq['rq']:.2f}  | ({pq['n_classes']} classes)"
         )
+        if stuff_classes is not None:
+            th, st = pq["things"], pq["stuff"]
+            print(
+                f"       |  PQ^th: {100 * th['pq']:.2f} ({th['n_classes']})"
+                f"  |  PQ^st: {100 * st['pq']:.2f} ({st['n_classes']})"
+            )
         table["pq"] = pq
     return table
 
@@ -133,9 +192,28 @@ if __name__ == "__main__":
              "AP row (the reference's is a zero placeholder).",
     )
     parser.add_argument(
+        "--mask_lattice", choices=["full", "stride4"], default="full",
+        help="'full' (default): COCO protocol — mask IoU at original "
+             "image resolution (predictions bilinearly upsampled from "
+             "stride 4, GT at full res). 'stride4': fast path on the "
+             "stride-4 lattice (NOT comparable to published numbers).",
+    )
+    parser.add_argument(
         "--pq", action="store_true",
         help="with --masks: also report Panoptic Quality (PQ/SQ/RQ) over "
              "the panoptic pixel-argmax merge (metrics/pq.py).",
+    )
+    parser.add_argument(
+        "--panoptic_ann", default=None,
+        help="path to a COCO panoptic_*.json — switches --pq to the "
+             "published panoptic protocol: things+stuff segments, crowd "
+             "and VOID handling (Kirillov et al.; DETR paper PQ 43.4). "
+             "Without it --pq scores a things-only internal PQ.",
+    )
+    parser.add_argument(
+        "--panoptic_png_dir", default=None,
+        help="directory of panoptic segment-id PNGs (defaults to the "
+             "annotation path without .json, the COCO convention).",
     )
     parser.add_argument(
         "--paper_protocol", action="store_true",
@@ -149,12 +227,26 @@ if __name__ == "__main__":
     config = TrainingConfig().update_from_args(args)
 
     detr = build_model(config, masks=args.masks)
-    valid_dt, class_names = load_coco_dataset(
-        config, 1, augmentation=None,
-        bucket_divisor=1 if args.exact_shapes else 128,
-        include_masks=args.masks,
-        paper_protocol=(800, 1333) if args.paper_protocol else None,
-    )
+    stuff_classes = None
+    if args.panoptic_ann and args.pq:
+        from detr_tensorflow_tpu.data.panoptic import load_coco_panoptic
+
+        valid_dt, class_names = load_coco_panoptic(
+            config, 1, ann_file=args.panoptic_ann,
+            png_dir=args.panoptic_png_dir,
+            bucket_divisor=1 if args.exact_shapes else 128,
+        )
+        stuff_classes = valid_dt.stuff_classes
+    else:
+        valid_dt, class_names = load_coco_dataset(
+            config, 1, augmentation=None,
+            bucket_divisor=1 if args.exact_shapes else 128,
+            include_masks=args.masks,
+            paper_protocol=(800, 1333) if args.paper_protocol else None,
+            full_res_masks=args.masks and args.mask_lattice == "full",
+        )
     config = config.replace(background_class=valid_dt.background_class)
     eval_model(detr, config, class_names, valid_dt,
-               report_pq=args.pq and args.masks)
+               report_pq=args.pq and args.masks,
+               mask_lattice=args.mask_lattice,
+               stuff_classes=stuff_classes)

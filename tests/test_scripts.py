@@ -254,9 +254,10 @@ def test_mask_finetune_and_eval_flow(coco_root_seg):
     eval_mod = importlib.import_module("eval")
     valid_dt, _ = load_coco_dataset(
         config, 1, augmentation=None, bucket_divisor=64, shuffle=False,
-        num_workers=1, include_masks=True,
+        num_workers=1, include_masks=True, full_res_masks=True,
     )
     bundle = DetrModel(model.module, trainer.variables)
+    # COCO protocol (default): masks scored at original image resolution.
     table = eval_mod.eval_model(
         bundle, config, class_names, valid_dt, report_pq=True
     )
@@ -264,3 +265,15 @@ def test_mask_finetune_and_eval_flow(coco_root_seg):
     assert np.isfinite(table["box"]["all"])
     # --pq path: PQ/SQ/RQ computed over the panoptic merge
     assert "pq" in table and 0.0 <= table["pq"]["pq"] <= 1.0
+
+    # stride-4 fast path still works and box AP is identical
+    valid_dt2, _ = load_coco_dataset(
+        config, 1, augmentation=None, bucket_divisor=64, shuffle=False,
+        num_workers=1, include_masks=True,
+    )
+    table2 = eval_mod.eval_model(
+        bundle, config, class_names, valid_dt2, report_pq=True,
+        mask_lattice="stride4",
+    )
+    assert np.isclose(table2["box"]["all"], table["box"]["all"])
+    assert "pq" in table2
