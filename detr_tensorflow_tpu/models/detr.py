@@ -64,6 +64,8 @@ class DETR(nn.Module):
     # reference, whose mask AP row is a zero placeholder — eval.py:54)
     backbone_quant: bool = False  # int8 PTQ backbone (inference): reads
     # the qtree from the "quant" collection (models/quantized.py)
+    pipeline: Optional[Any] = None  # parallel/pp.PipelineSpec: GPipe-
+    # pipeline the encoder stack over the spec's mesh stage axis
 
     @nn.compact
     def __call__(self, images, pixel_mask=None, train=False):
@@ -149,6 +151,7 @@ class DETR(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            pipeline=self.pipeline,
             name="transformer",
         )(src, pos, query_embed, key_padding_mask=key_padding_mask, train=train)
 

@@ -193,6 +193,11 @@ class Transformer(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False  # rematerialize layer activations (trade FLOPs
     # for HBM when training with very large batches/resolutions)
+    # GPipe pipeline-parallel encoder (parallel/pp.PipelineSpec): the
+    # encoder stack runs staged over the spec's mesh axis; params,
+    # outputs and gradients are bitwise-identical trees (verified by
+    # tests/test_pipeline_parallel.py::TestDetrPipelined). None = off.
+    pipeline: Optional[Any] = None
 
     @nn.compact
     def __call__(self, src, pos, query_embed, key_padding_mask=None, train=False):
@@ -204,13 +209,18 @@ class Transformer(nn.Module):
             enc_cls = nn.remat(EncoderLayer, static_argnums=(4,))
             dec_cls = nn.remat(DecoderLayer, static_argnums=(6,))
 
-        memory = src
-        for i in range(self.num_encoder_layers):
-            memory = enc_cls(
-                self.model_dim, self.num_heads, self.dim_feedforward,
-                self.dropout, self.dtype, self.attn_impl,
-                name=f"encoder_layer_{i}",
-            )(memory, pos, key_padding_mask, train)
+        if self.pipeline is not None and not self.is_initializing():
+            memory = self._pipelined_encoder(
+                src, pos, key_padding_mask, train
+            )
+        else:
+            memory = src
+            for i in range(self.num_encoder_layers):
+                memory = enc_cls(
+                    self.model_dim, self.num_heads, self.dim_feedforward,
+                    self.dropout, self.dtype, self.attn_impl,
+                    name=f"encoder_layer_{i}",
+                )(memory, pos, key_padding_mask, train)
 
         query_pos = jnp.broadcast_to(
             query_embed[None], (b,) + query_embed.shape
@@ -229,3 +239,82 @@ class Transformer(nn.Module):
 
         hs = jnp.stack(intermediate, axis=0)  # (L, B, Q, D)
         return hs, memory
+
+    def _pipelined_encoder(self, src, pos, key_padding_mask, train):
+        """GPipe-pipeline the encoder stack over ``self.pipeline``'s mesh.
+
+        The per-layer parameters created by the sequential init path
+        (``encoder_layer_{i}``) are read from this module's scope and
+        re-applied through an unbound EncoderLayer template inside
+        ``parallel.pp.pipeline_forward`` — identical math, identical
+        parameter tree, so checkpoints and gradients are interchangeable
+        with the sequential model. Positions and the padding mask ride
+        with each microbatch through the rotation (they are per-image
+        inputs, so closure capture would break under a sharded data
+        axis); per-layer dropout keys are folded from one base key and
+        travel with the stage parameters.
+        """
+        import jax
+
+        from ..parallel import pp as pp_lib
+
+        spec = self.pipeline
+        n_layers = self.num_encoder_layers
+        n_stages = spec.mesh.shape[spec.stage_axis]
+        template = EncoderLayer(
+            self.model_dim, self.num_heads, self.dim_feedforward,
+            self.dropout, self.dtype, self.attn_impl,
+        )
+        layer_params = [
+            self.get_variable("params", f"encoder_layer_{i}")
+            for i in range(n_layers)
+        ]
+        stage_params = pp_lib.split_layers_into_stages(
+            layer_params, n_stages
+        )
+        needs_rng = train and self.dropout > 0.0
+        if needs_rng:
+            base = self.make_rng("dropout")
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                jnp.arange(n_layers)
+            )
+            keys = keys.reshape(
+                (n_stages, n_layers // n_stages) + keys.shape[1:]
+            )
+            stage_params = (stage_params, keys)
+        else:
+            stage_params = (stage_params,)
+
+        tree = {"src": src, "pos": pos}
+        if key_padding_mask is not None:
+            tree["kpm"] = key_padding_mask
+
+        def stage_fn(pr, t):
+            def body(carry, xs):
+                p1 = xs[0]
+                rngs = {"dropout": xs[1]} if needs_rng else None
+                out = template.apply(
+                    {"params": p1}, carry, t["pos"], t.get("kpm"), train,
+                    rngs=rngs,
+                )
+                return out, None
+
+            out, _ = jax.lax.scan(body, t["src"], pr)
+            return {**t, "src": out}
+
+        n_micro = spec.n_micro
+        if n_micro is None:
+            # Largest feasible <= 2*n_stages (bubble under ~33%): the
+            # microbatch dim must also stay divisible by the data axis
+            # (each microbatch is sharded across data-parallel devices).
+            b = src.shape[0]
+            data = spec.mesh.shape[spec.data_axis] if spec.data_axis else 1
+            n_micro = max(2 * n_stages, 1)
+            while n_micro > 1 and (b % n_micro or (b // n_micro) % data):
+                n_micro //= 2
+        out = pp_lib.pipeline_forward(
+            stage_fn, stage_params, tree, spec.mesh,
+            n_micro=n_micro, stage_axis=spec.stage_axis,
+            data_axis=spec.data_axis,
+        )
+        return out["src"]

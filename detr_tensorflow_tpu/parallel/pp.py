@@ -31,8 +31,9 @@ past one chip's HBM (SURVEY.md §2.6 scale-out).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 Pytree = Any
 
 
+@dataclasses.dataclass(frozen=True)
+class PipelineSpec:
+    """Static configuration for a pipelined encoder (models/transformer
+    ``pipeline=`` field; frozen/hashable so it can live on a flax
+    module).
+
+    Attrs:
+      mesh: the device mesh carrying ``stage_axis`` (and optionally a
+        data axis for DP x PP).
+      n_micro: microbatches per batch (None = 2*n_stages rounded down
+        to divide the batch).
+      stage_axis / data_axis: mesh axis names.
+    """
+
+    mesh: Mesh
+    n_micro: Optional[int] = None
+    stage_axis: str = "stage"
+    data_axis: Optional[str] = None
+
+
 def stack_stage_params(per_stage: Sequence[Pytree]) -> Pytree:
     """Stack per-stage parameter pytrees along a new leading stage axis
     (the axis ``pipeline_forward`` shards over)."""
@@ -49,31 +70,43 @@ def stack_stage_params(per_stage: Sequence[Pytree]) -> Pytree:
 
 
 def pipeline_forward(
-    stage_fn: Callable[[Pytree, jnp.ndarray], jnp.ndarray],
+    stage_fn: Callable[[Pytree, Pytree], Pytree],
     stage_params: Pytree,  # leading dim = n_stages on every leaf
-    x: jnp.ndarray,        # (B, ...) — activations; stage-invariant shape
+    x: Pytree,             # (B, ...) leaves — activations (pytree OK)
     mesh: Mesh,
     *,
     n_micro: int,
     stage_axis: str = "stage",
     data_axis: str = None,  # set to compose DP x PP on a 2-D mesh
-) -> jnp.ndarray:
+) -> Pytree:
     """Run ``x`` through ``n_stages`` pipelined applications of
     ``stage_fn`` (stage i uses ``stage_params[i]``), GPipe-scheduled.
 
-    ``stage_fn(params_i, a) -> a`` must preserve the activation shape
-    (true of transformer layer stacks). Returns the full-batch output,
-    replicated over the stage axis (one psum of the output at the end).
-    Differentiable; jit-compatible (wrap in jit for real use).
+    ``stage_fn(params_i, a) -> a`` must preserve the activation
+    structure and shapes (true of transformer layer stacks). ``x`` may
+    be a PYTREE of (B, ...) arrays: every leaf is microbatched and
+    rotated between stages together — how per-microbatch side inputs
+    (positions, padding masks) travel with their activations instead of
+    being closed over (closure capture would break under a sharded data
+    axis). Returns the full-batch output, replicated over the stage axis
+    (one psum of the output at the end). Differentiable; jit-compatible
+    (wrap in jit for real use).
     """
     n_stages = mesh.shape[stage_axis]
-    b = x.shape[0]
+    leaves = jax.tree.leaves(x)
+    b = leaves[0].shape[0]
     assert b % n_micro == 0, (b, n_micro)
     mb = b // n_micro
-    xs = x.reshape(n_micro, mb, *x.shape[1:])
+    xs = jax.tree.map(
+        lambda a: a.reshape(n_micro, mb, *a.shape[1:]), x
+    )
     # S-1 drain steps: stage 0 sees dummy microbatches past the end.
-    pad = jnp.zeros((n_stages - 1,) + xs.shape[1:], x.dtype)
-    xs_padded = jnp.concatenate([xs, pad], axis=0)
+    xs_padded = jax.tree.map(
+        lambda a: jnp.concatenate(
+            [a, jnp.zeros((n_stages - 1,) + a.shape[1:], a.dtype)], axis=0
+        ),
+        xs,
+    )
 
     def per_stage(params, xs_local):
         p = jax.tree.map(lambda a: a[0], params)  # this stage's params
@@ -85,17 +118,25 @@ def pipeline_forward(
             # rotated value is what stage s-1 finished one step ago —
             # exactly microbatch (t - s) under the GPipe schedule.
             recv = jax.lax.ppermute(prev_out, stage_axis, perm)
-            inp = jnp.where(s_idx == 0, x_t, recv)
+            inp = jax.tree.map(
+                lambda a, r: jnp.where(s_idx == 0, a, r), x_t, recv
+            )
             out = stage_fn(p, inp)
             return out, out
 
-        zero = jnp.zeros(xs_local.shape[1:], x.dtype)
+        zero = jax.tree.map(
+            lambda a: jnp.zeros(a.shape[1:], a.dtype), xs_local
+        )
         _, ys = jax.lax.scan(step, zero, xs_local)
         # Last stage's steps S-1 .. S+T-2 hold the T real outputs.
-        valid = ys[n_stages - 1:]
+        valid = jax.tree.map(lambda a: a[n_stages - 1:], ys)
         # Replicate across stages: only the last stage contributes.
-        contrib = jnp.where(s_idx == n_stages - 1, valid, 0)
-        return jax.lax.psum(contrib, stage_axis)
+        return jax.tree.map(
+            lambda a: jax.lax.psum(
+                jnp.where(s_idx == n_stages - 1, a, 0), stage_axis
+            ),
+            valid,
+        )
 
     spec_x = P(None, data_axis) if data_axis else P()
     out = shard_map(
@@ -105,7 +146,9 @@ def pipeline_forward(
         out_specs=spec_x,
         check_vma=False,
     )(stage_params, xs_padded)
-    return out.reshape(b, *x.shape[1:])
+    return jax.tree.map(
+        lambda a: a.reshape(b, *a.shape[2:]), out
+    )
 
 
 def split_layers_into_stages(
@@ -161,8 +204,12 @@ def pipeline_transformer_encoder(
     if n_stages is None:
         n_stages = mesh.shape[stage_axis]
     if n_micro is None:
-        n_micro = max(2 * n_stages, 1)  # keep the bubble under ~33%
-        while src.shape[0] % n_micro:
+        # Largest feasible <= 2*n_stages (bubble under ~33%); the
+        # microbatch dim must stay divisible by the data axis.
+        b = jax.tree.leaves(src)[0].shape[0]
+        data = mesh.shape[data_axis] if data_axis else 1
+        n_micro = max(2 * n_stages, 1)
+        while n_micro > 1 and (b % n_micro or (b // n_micro) % data):
             n_micro //= 2
     stage_params = split_layers_into_stages(encoder_layer_params, n_stages)
     return pipeline_forward(
