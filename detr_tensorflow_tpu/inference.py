@@ -188,9 +188,12 @@ def upsample_mask_probs(
     IoU.
     """
     h, w = int(orig_hw[0]), int(orig_hw[1])
+    probs = np.asarray(probs, np.float32)
+    if probs.shape[0] == 0:
+        return np.zeros((h, w, 0), np.float32)
     vh = -(-h // stride)
     vw = -(-w // stride)
-    crop = np.asarray(probs, np.float32)[:, :vh, :vw].transpose(1, 2, 0)
+    crop = probs[:, :vh, :vw].transpose(1, 2, 0)
     return np_bilinear_resize(crop, h, w)
 
 

@@ -27,12 +27,16 @@ from .data.processing import IMAGENET_MEAN, IMAGENET_STD, CAFFE_MEAN
 class Detection:
     """One image's detections (ragged, host-side)."""
 
-    __slots__ = ("boxes", "labels", "scores")
+    __slots__ = ("boxes", "labels", "scores", "masks")
 
-    def __init__(self, boxes, labels, scores):
+    def __init__(self, boxes, labels, scores, masks=None):
         self.boxes = boxes  # (n, 4) xcycwh normalized to the valid region
         self.labels = labels  # (n,)
         self.scores = scores  # (n,)
+        # (n, H, W) bool instance masks at the image's own resolution
+        # (COCO-protocol bilinear upsample from the stride-4 head), or
+        # None when the predictor serves boxes only.
+        self.masks = masks
 
 
 class Predictor:
@@ -44,6 +48,12 @@ class Predictor:
       bucket_divisor: pad H/W up to multiples of this (compile-count vs
         padding-waste tradeoff).
       score_threshold: optional confidence filter.
+      masks: serve per-detection instance masks (requires a model built
+        with the segmentation head, ``masks=True``). Masks come back at
+        each image's own resolution — valid stride-4 cells bilinearly
+        upsampled (torch F.interpolate semantics), thresholded at
+        ``mask_threshold`` — the same COCO-protocol frame eval.py
+        scores.
     """
 
     def __init__(
@@ -53,12 +63,16 @@ class Predictor:
         bucket_divisor: int = 128,
         score_threshold: float = 0.0,
         bbox_format: str = "xy_center",
+        masks: bool = False,
+        mask_threshold: float = 0.5,
     ):
         self.model = model
         self.background_class = int(background_class)
         self.bucket_divisor = int(bucket_divisor)
         self.score_threshold = float(score_threshold)
         self.bbox_format = bbox_format
+        self.masks = bool(masks)
+        self.mask_threshold = float(mask_threshold)
         self._compiled = {}
 
     def _get_program(self, shape: Tuple[int, int], masked: bool):
@@ -78,6 +92,19 @@ class Predictor:
                 )
             return x[..., ::-1] - jnp.asarray(CAFFE_MEAN)
 
+        want_masks = self.masks
+
+        def mask_probs(outputs, pixel_mask):
+            if not want_masks:
+                return None
+            probs = jax.nn.sigmoid(outputs["pred_masks"].astype(jnp.float32))
+            if pixel_mask is not None:
+                from .models.layers import feature_valid_mask
+
+                _, _, h4, w4 = probs.shape
+                probs = probs * feature_valid_mask(pixel_mask, h4, w4)[:, None]
+            return probs
+
         if masked:
             @jax.jit
             def program(variables, frames, pixel_mask):
@@ -87,12 +114,14 @@ class Predictor:
                 # zeros, like an unpadded SAME conv's implicit padding.
                 x = normalize(frames) * pixel_mask[..., None].astype(jnp.float32)
                 outputs = module.apply(variables, x, pixel_mask=pixel_mask)
-                return inference.postprocess(outputs, background, fmt)
+                return (inference.postprocess(outputs, background, fmt),
+                        mask_probs(outputs, pixel_mask))
         else:
             @jax.jit
             def program(variables, frames):
                 outputs = module.apply(variables, normalize(frames))
-                return inference.postprocess(outputs, background, fmt)
+                return (inference.postprocess(outputs, background, fmt),
+                        mask_probs(outputs, None))
         self._compiled[key] = program
         return program
 
@@ -142,17 +171,19 @@ class Predictor:
                 exact = False
             program = self._get_program((ph, pw), masked=not exact)
             if exact:
-                boxes, labels, scores, keep = program(
+                (boxes, labels, scores, keep), mprobs = program(
                     self.model.variables, jnp.asarray(frames)
                 )
             else:
-                boxes, labels, scores, keep = program(
+                (boxes, labels, scores, keep), mprobs = program(
                     self.model.variables, jnp.asarray(frames), jnp.asarray(masks)
                 )
             boxes = np.asarray(boxes)
             labels = np.asarray(labels)
             scores = np.asarray(scores)
             keep = np.asarray(keep) & (np.asarray(scores) >= self.score_threshold)
+            if mprobs is not None:
+                mprobs = np.asarray(mprobs)
             for row, i in enumerate(idxs):
                 k = keep[row]
                 # No padded->valid rescale: the network is exactly
@@ -162,7 +193,17 @@ class Predictor:
                 # already normalized to the image's own valid frame —
                 # the convention the weights are trained with. Verified
                 # by tests/test_predictor.py::test_padded_equals_exact.
+                det_masks = None
+                if mprobs is not None:
+                    h, w = images[i].shape[:2]
+                    up = inference.upsample_mask_probs(
+                        mprobs[row][k], (h, w)
+                    )  # (H, W, n)
+                    det_masks = (
+                        up.transpose(2, 0, 1) > self.mask_threshold
+                    )
                 results[i] = Detection(
-                    boxes[row][k], labels[row][k], scores[row][k]
+                    boxes[row][k], labels[row][k], scores[row][k],
+                    masks=det_masks,
                 )
         return results  # type: ignore[return-value]
