@@ -57,9 +57,15 @@ def bench_inference(on_tpu: bool):
     print(f"bench[infer]: dtype={dtype} batch={batch} size={height}x{width}",
           file=sys.stderr)
 
-    variables = model.init(
+    t0 = time.time()
+    # jit(init): one XLA program. Eager init dispatches hundreds of tiny
+    # param-initializer ops through the remote-TPU relay (~150s measured
+    # round 3); jitted it is a single compile + execute (~15s).
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
     )
+    jax.block_until_ready(variables)
+    t_init = time.time() - t0
 
     @jax.jit
     def forward(variables, images):
@@ -71,14 +77,32 @@ def bench_inference(on_tpu: bool):
         )
 
     images = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, height, width, 3)),
+        np.random.default_rng(0)
+        .standard_normal(size=(batch, height, width, 3), dtype=np.float32),
         jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
     )
+    jax.block_until_ready(images)
 
+    # Cold-start breakdown (AOT phases) — docs/performance.md "Cold
+    # start" section. The single "compile+first step" line is the
+    # round-over-round comparable; the phases attribute it. Timings
+    # through the remote-TPU relay fluctuate up to ~10x (BENCH_r02's
+    # 774.5s was one such episode; the reproducible figure is ~40-80s).
     t0 = time.time()
-    float(forward(variables, images))  # compile + first step
-    print(f"bench[infer]: compile+first step {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    lowered = forward.lower(variables, images)
+    t_lower = time.time() - t0
+    t1 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t1
+    t1 = time.time()
+    float(compiled(variables, images))  # first execution
+    t_exec = time.time() - t1
+    print(
+        f"bench[infer]: compile+first step {time.time() - t0:.1f}s "
+        f"(init {t_init:.1f}s, lower {t_lower:.1f}s, compile "
+        f"{t_compile:.1f}s, first-exec {t_exec:.1f}s)",
+        file=sys.stderr,
+    )
     float(forward(variables, images))  # steady-state warmup
 
     t0 = time.time()
@@ -109,7 +133,7 @@ def bench_train(on_tpu: bool):
         )
     print(f"bench[train]: batch={batch} size={height}x{width}", file=sys.stderr)
 
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jax.numpy.zeros((1, 64, 64, 3))
     )
     config = TrainingConfig(
