@@ -70,19 +70,28 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, lk, h, dh)
         v = v.reshape(b, lk, h, dh)
 
-        # The Pallas kernel covers masks and gradients (custom VJP);
-        # attention-weight dropout stays on XLA (in-kernel PRNG replay
-        # would be needed for exact backward parity).
-        use_pallas = (
-            self.attn_impl == "pallas"
-            and not return_weights
-            and (self.dropout == 0.0 or not train)
-        )
+        # The Pallas kernel covers masks, gradients (custom VJP) and
+        # attention-weight dropout (in-kernel counter-based PRNG whose
+        # mask the backward kernel replays by re-seeding) — the full
+        # reference training recipe runs through the flash path.
+        use_pallas = self.attn_impl == "pallas" and not return_weights
         if use_pallas:
+            import jax as _jax
+
             from ..ops.pallas import flash_attention
 
+            rate = self.dropout if train else 0.0
+            seed = None
+            if rate > 0.0:
+                # One int32 seed per call, folded from flax's dropout rng
+                # (each MHA instance gets a distinct stream).
+                seed = _jax.random.randint(
+                    self.make_rng("dropout"), (1,),
+                    minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32,
+                )
             out = flash_attention.mha(
-                q, k, v, key_padding_mask=key_padding_mask
+                q, k, v, key_padding_mask=key_padding_mask,
+                dropout_rate=float(rate), dropout_seed=seed,
             )  # (B, Lq, H, Dh), pre-scaled q
             attn = None
         else:

@@ -19,10 +19,13 @@ Production capabilities (VERDICT round 1, task 6):
     path runs through the kernel;
   * gradients — a custom VJP whose backward kernel recomputes the
     softmax per q-chunk in VMEM (flash-style; no attention matrix in
-    HBM on the backward either), so the kernel is trainable. Attention-
-    weight *dropout* stays on the XLA path (models/transformer.py
-    dispatches there when dropout is active) — fusing dropout would
-    require replaying in-kernel PRNG in the backward for exact parity.
+    HBM on the backward either), so the kernel is trainable;
+  * attention-weight dropout — in-kernel counter-based PRNG
+    (``pltpu.prng_seed`` on (seed, program ids)); the backward kernel
+    REPLAYS the identical mask by re-seeding with the same salts, so
+    the full reference training recipe (dropout 0.1,
+    reference transformer.py:8) runs through the flash path with no
+    mask tensor in HBM.
 
 The reference materializes attention through separate matmul/softmax TF
 ops (detr_tf/networks/transformer.py:317-343) and its key-padding-mask
@@ -55,7 +58,22 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+def _dropout_mask(seed, salt_a, salt_b, shape, rate: float):
+    """Deterministic keep-mask scaled by 1/keep: seeded from
+    (seed, salt_a, salt_b) so the backward pass REPLAYS the exact
+    forward mask by re-seeding with the same salts (counter-based PRNG
+    replay — no mask ever stored in HBM)."""
+    pltpu.prng_seed(seed, salt_a, salt_b)
+    bits = pltpu.prng_random_bits(shape)  # int32 block
+    # Drop iff the uniform-int draw lands in the lowest `rate` fraction
+    # of the int32 range.
+    thresh = jnp.int32(int(rate * (2**32)) - (2**31))
+    keep = bits >= thresh
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                *, dropout_rate: float):
     """q_ref: (1, TQ, Dh); k/v_ref: (1, LKp, Dh); bias_ref: (1, LKp);
     o_ref: (1, TQ, Dh). Bias already carries padding/masking (-1e30)."""
     q = q_ref[0]
@@ -72,6 +90,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     exp = jnp.exp(scores)
     probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        probs = probs * _dropout_mask(
+            seed_ref[0], pl.program_id(0), pl.program_id(1),
+            probs.shape, dropout_rate,
+        )
 
     o_ref[0] = jax.lax.dot_general(
         probs.astype(v.dtype), v,
@@ -88,10 +111,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, do_ref,
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dq_ref, dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, q_chunk: int,
+    *, q_chunk: int, dropout_rate: float,
 ):
     k = k_ref[0]  # (LKp, Dh)
     v = v_ref[0]
@@ -115,11 +138,21 @@ def _bwd_kernel(
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # (TQ, LKp) f32
-        p_low = p.astype(v.dtype)
+        if dropout_rate > 0.0:
+            # Replay the forward program (i, j=c)'s mask exactly: same
+            # seed, same salts, same draw shape.
+            m = _dropout_mask(
+                seed_ref[0], pl.program_id(0), c, p.shape, dropout_rate,
+            )
+            pd = p * m  # dropped+scaled probabilities
+        else:
+            m = None
+            pd = p
+        pd_low = pd.astype(v.dtype)
 
-        # o = p @ v (recomputed for delta), dp = do @ v^T
+        # o = pd @ v (recomputed for delta), dp = do @ v^T
         o = jax.lax.dot_general(
-            p_low, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            pd_low, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
@@ -127,6 +160,8 @@ def _bwd_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if m is not None:
+            dp = dp * m  # chain through the dropout: d p = M/kp * d pd
         delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (TQ, 1)
         ds = p * (dp - delta)  # (TQ, LKp) f32
         ds_low = ds.astype(q.dtype)
@@ -140,7 +175,7 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         dv_acc[:] += jax.lax.dot_general(
-            p_low, do.astype(v.dtype),
+            pd_low, do.astype(v.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -156,19 +191,23 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _mha_core(qf, kf, vf, bias, h: int, q_block: int, interpret: bool):
-    return _mha_fwd_call(qf, kf, vf, bias, h, q_block, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _mha_core(qf, kf, vf, bias, seed, h: int, q_block: int,
+              interpret: bool, dropout_rate: float):
+    return _mha_fwd_call(qf, kf, vf, bias, seed, h, q_block, interpret,
+                         dropout_rate)
 
 
-def _mha_fwd_call(qf, kf, vf, bias, h, q_block, interpret):
+def _mha_fwd_call(qf, kf, vf, bias, seed, h, q_block, interpret,
+                  dropout_rate):
     bh, lq, dh = qf.shape
     lk = kf.shape[1]
     grid = (bh, lq // q_block)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
             pl.BlockSpec((1, q_block, dh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, dh), lambda i, j: (i, 0, 0),
@@ -187,22 +226,26 @@ def _mha_fwd_call(qf, kf, vf, bias, h, q_block, interpret):
             bytes_accessed=bh * (2 * lq + 2 * lk) * dh * qf.dtype.itemsize,
             transcendentals=bh * lq * lk,
         ),
-    )(qf, kf, vf, bias)
+    )(seed, qf, kf, vf, bias)
 
 
-def _mha_fwd_rule(qf, kf, vf, bias, h, q_block, interpret):
-    out = _mha_fwd_call(qf, kf, vf, bias, h, q_block, interpret)
-    return out, (qf, kf, vf, bias)
+def _mha_fwd_rule(qf, kf, vf, bias, seed, h, q_block, interpret,
+                  dropout_rate):
+    out = _mha_fwd_call(qf, kf, vf, bias, seed, h, q_block, interpret,
+                        dropout_rate)
+    return out, (qf, kf, vf, bias, seed)
 
 
-def _mha_bwd_rule(h, q_block, interpret, residuals, g):
-    qf, kf, vf, bias = residuals
+def _mha_bwd_rule(h, q_block, interpret, dropout_rate, residuals, g):
+    qf, kf, vf, bias, seed = residuals
     bh, lq, dh = qf.shape
     lk = kf.shape[1]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, q_chunk=q_block),
+        functools.partial(_bwd_kernel, q_chunk=q_block,
+                          dropout_rate=dropout_rate),
         grid=(bh,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,) int32
             pl.BlockSpec((1, lq, dh), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, dh), lambda i: (i, 0, 0),
@@ -237,10 +280,15 @@ def _mha_bwd_rule(h, q_block, interpret, residuals, g):
             bytes_accessed=bh * (4 * lq + 4 * lk) * dh * qf.dtype.itemsize,
             transcendentals=bh * lq * lk,
         ),
-    )(qf, kf, vf, bias, g)
+    )(seed, qf, kf, vf, bias, g)
     # bias is built from a boolean mask outside the VJP boundary — its
-    # upstream tangent is float0, so a zero cotangent is exact here.
-    return dq, dk, dv, jnp.zeros_like(bias)
+    # upstream tangent is float0, so a zero cotangent is exact here;
+    # same for the integer dropout seed.
+    import numpy as _np
+
+    return dq, dk, dv, jnp.zeros_like(bias), _np.zeros(
+        seed.shape, jax.dtypes.float0
+    )
 
 
 _mha_core.defvjp(_mha_fwd_rule, _mha_bwd_rule)
@@ -258,6 +306,8 @@ def mha(
     key_padding_mask: jnp.ndarray = None,
     q_block: int = 128,
     interpret: bool = None,  # type: ignore[assignment]
+    dropout_rate: float = 0.0,
+    dropout_seed: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Fused attention over batch-first (B, L, H, Dh) tensors.
 
@@ -265,10 +315,28 @@ def mha(
     before calling). ``key_padding_mask`` is an optional (B, Lk) bool
     array, True = padded key (ignored). Differentiable (custom VJP;
     flash-style backward). Returns (B, Lq, H, Dh).
+
+    ``dropout_rate`` > 0 applies attention-weight dropout INSIDE the
+    kernel (keep-prob scaling, like ``nn.Dropout`` on the probabilities)
+    using the TPU's counter-based PRNG seeded from ``dropout_seed`` (a
+    scalar/1-element int32 array) and the program ids — the backward
+    kernel replays the identical mask by re-seeding, so no mask tensor
+    ever exists in HBM. This is what lets the flash path train the
+    reference recipe (dropout 0.1, reference transformer.py:8).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret is True and dropout_rate > 0.0:
+        # The default HLO interpreter has no rule for the TPU PRNG
+        # primitives; the Mosaic TPU interpreter emulates them on CPU.
+        interpret = pltpu.InterpretParams()
     b, lq, h, dh = q.shape
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 needs dropout_seed")
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
     lk = k.shape[1]
 
     # Fold heads into the grid's leading axis: (BH, L, Dh).
@@ -295,7 +363,8 @@ def mha(
                        constant_values=_NEG_INF)
     bias = bias[:, None, :]  # (B, 1, LKp): TPU-tileable block shape
 
-    out = _mha_core(qf, kf, vf, bias, h, q_block, bool(interpret))
+    out = _mha_core(qf, kf, vf, bias, seed, h, q_block, interpret,
+                    float(dropout_rate))
     out = out[:, :lq].reshape(b, h, lq, dh).transpose(0, 2, 1, 3)
     return out
 
