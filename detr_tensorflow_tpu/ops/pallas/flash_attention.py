@@ -62,8 +62,10 @@ def _dropout_mask(seed, salt_a, salt_b, shape, rate: float):
     """Deterministic keep-mask scaled by 1/keep: seeded from
     (seed, salt_a, salt_b) so the backward pass REPLAYS the exact
     forward mask by re-seeding with the same salts (counter-based PRNG
-    replay — no mask ever stored in HBM)."""
-    pltpu.prng_seed(seed, salt_a, salt_b)
+    replay — no mask ever stored in HBM). Mosaic accepts at most two
+    seed values, so the two salts (grid row < BH, q-block index, both
+    far below 2^16) pack into one."""
+    pltpu.prng_seed(seed, salt_a * 65536 + salt_b)
     bits = pltpu.prng_random_bits(shape)  # int32 block
     # Drop iff the uniform-int draw lands in the lowest `rate` fraction
     # of the int32 range.

@@ -8,8 +8,10 @@ proven on hardware. Checks:
   3. E[mask/keep] = 1: seed-averaged output approaches the undropped
      reference;
   4. empirical drop rate ~ rate;
-  5. custom-VJP gradients match finite differences for a fixed seed
-     (proves the backward replays the forward's exact mask).
+  5. custom-VJP gradients match an ANALYTIC XLA twin built with the
+     kernel's own extracted mask (proves the backward replays the
+     forward's exact mask — strictly stronger than finite differences,
+     whose higher-order error terms dominate at these scales on TPU).
 
 Usage: PYTHONPATH=... python scripts/attn_dropout_probe.py
 """
@@ -53,21 +55,47 @@ def main():
     print(f"mean-field residual over {n} seeds: {resid:.3f} (expect ~1/sqrt(n))")
     assert resid < 0.3
 
-    # Empirical drop rate via a linear probe: with v = all-ones, output
-    # rows are sum_k probs_dropped -> mean ~ 1 regardless; use variance
-    # instead: count zero-contribution by feeding one-hot v per key is
-    # O(L) runs — approximate via the identity E[out] = ref and
-    # Var[out] > 0; already covered by residual check above.
+    # Extract the kernel's actual mask (identity-value trick at zero
+    # scores: probs are uniform 1/Lk, so output rows ARE the dropped
+    # probabilities). The draw depends only on (seed, program ids,
+    # (q_block, LKp)), not on Dh, so a dh=Lk extraction gives the mask
+    # any same-grid call uses.
+    kp = 1.0 - rate
+    q0 = jnp.zeros((b, lq, h, lk), jnp.float32)
+    k0 = jnp.zeros((b, lk, h, lk), jnp.float32)
+    v0 = jnp.broadcast_to(
+        jnp.eye(lk, dtype=jnp.float32)[None, :, None, :], (b, lk, h, lk)
+    )
+    pd = np.asarray(
+        mha(q0, k0, v0, dropout_rate=rate, dropout_seed=s(42))
+    )  # (b, lq, h, lk)
+    M = (pd.transpose(0, 2, 1, 3) * lk * kp > 0.5).astype(np.float32)
+    emp_rate = 1.0 - M.mean()
+    print(f"empirical drop rate: {emp_rate:.3f} (target {rate})")
+    assert abs(emp_rate - rate) < 0.01
 
-    def f(q_, k_, v_):
+    def f_kernel(q_, k_, v_):
         return jnp.sum(
             mha(q_, k_, v_, dropout_rate=rate, dropout_seed=s(42)) ** 2
         )
 
-    from jax.test_util import check_grads
+    def f_twin(q_, k_, v_):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q_, k_,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits, -1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p * jnp.asarray(M) / kp, v_)
+        return jnp.sum(o ** 2)
 
-    check_grads(f, (q, k, v), order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
-    print("custom-VJP vs finite differences (fixed seed): ok")
+    fk, ft = float(f_kernel(q, k, v)), float(f_twin(q, k, v))
+    assert abs(fk - ft) / abs(ft) < 1e-4, (fk, ft)
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    gt = jax.grad(f_twin, argnums=(0, 1, 2))(q, k, v)
+    for name, a_, b_ in zip("qkv", gk, gt):
+        d = np.abs(np.asarray(a_) - np.asarray(b_)).max()
+        scale = np.abs(np.asarray(b_)).max() + 1e-9
+        print(f"d{name}: maxdiff={d:.5f} (scale {scale:.4f})")
+        assert d / scale < 2e-2, name  # fp32-on-MXU recompute noise
+    print("custom-VJP vs analytic twin with the extracted mask: ok")
     print("attn_dropout_probe: ALL OK")
 
 
