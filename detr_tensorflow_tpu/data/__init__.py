@@ -15,3 +15,5 @@ from .voc import load_voc_dataset, VOC_CLASS_NAME  # noqa: F401
 from .tfcsv import load_tfcsv_dataset  # noqa: F401
 from .pipeline import HostDataset, prefetch_to_device  # noqa: F401
 from .transforms import detr_transform  # noqa: F401
+from .synthetic import make_synthetic_coco  # noqa: F401
+from .panoptic import load_coco_panoptic  # noqa: F401

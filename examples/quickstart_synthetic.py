@@ -9,7 +9,6 @@ faster).
   python examples/quickstart_synthetic.py
 """
 
-import json
 import os
 import sys
 import tempfile
@@ -18,35 +17,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def make_synthetic_coco(root: str, n_images: int = 8, seed: int = 0):
-    """Images with one bright rectangle each; its box is the annotation."""
-    import cv2
-
-    rng = np.random.default_rng(seed)
-    img_dir = os.path.join(root, "images")
-    os.makedirs(img_dir, exist_ok=True)
-    images, annotations = [], []
-    for i in range(n_images):
-        h = w = 128
-        img = rng.integers(0, 60, size=(h, w, 3)).astype(np.uint8)
-        bw, bh = int(rng.integers(30, 60)), int(rng.integers(30, 60))
-        x, y = int(rng.integers(0, w - bw)), int(rng.integers(0, h - bh))
-        color = (255, 255, 255) if i % 2 == 0 else (255, 0, 0)
-        cat = 1 if i % 2 == 0 else 2
-        cv2.rectangle(img, (x, y), (x + bw, y + bh), color, -1)
-        cv2.imwrite(os.path.join(img_dir, f"img{i}.png"), img)
-        images.append({"id": i, "file_name": f"img{i}.png", "height": h, "width": w})
-        annotations.append({
-            "id": i, "image_id": i, "category_id": cat,
-            "bbox": [float(x), float(y), float(bw), float(bh)], "iscrowd": 0,
-        })
-    with open(os.path.join(root, "ann.json"), "w") as f:
-        json.dump({
-            "images": images, "annotations": annotations,
-            "categories": [{"id": 1, "name": "white-box"},
-                           {"id": 2, "name": "red-box"}],
-        }, f)
+from detr_tensorflow_tpu.data import make_synthetic_coco  # noqa: E402
 
 
 def main():
