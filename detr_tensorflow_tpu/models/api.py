@@ -123,7 +123,11 @@ def build_detr(
         **model_kwargs,
     )
     h, w = image_size
-    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
+    # jit(init): one XLA program instead of hundreds of eager initializer
+    # dispatches — ~10x faster cold through the remote-TPU relay.
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3))
+    )
 
     if weights is not None:
         loaded = weights_lib.load_weights(

@@ -59,7 +59,11 @@ def main():
     print(f"devices={jax.devices()} batch={b} size={h}x{w}", file=sys.stderr)
 
     model = DETR(num_classes=92, dropout=0.1, dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # jit(init): eager init dispatches hundreds of tiny ops through the
+    # remote-TPU relay (~150s); one program is ~15s (bench.py r3 note).
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
     config = TrainingConfig(
         background_class=91, train_backbone=True, train_transformers=True,
         train_nlayers=True, batch_size=b, target_batch=b,
