@@ -12,6 +12,7 @@ from .mesh import (  # noqa: F401
 )
 from .tp import detr_param_shardings, shard_params  # noqa: F401
 from .pp import (  # noqa: F401
+    PipelineSpec,
     pipeline_forward,
     pipeline_transformer_encoder,
     split_layers_into_stages,

