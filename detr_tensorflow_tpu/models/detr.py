@@ -60,6 +60,8 @@ class DETR(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False  # rematerialize transformer layers (memory saver)
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
+    fuse_bottleneck: bool = False  # Pallas whole-block bottleneck fusion
+    # (inference; identity blocks without a pixel mask)
     masks: bool = False  # instance-segmentation head (beyond the
     # reference, whose mask AP row is a zero placeholder — eval.py:54)
     backbone_quant: bool = False  # int8 PTQ backbone (inference): reads
@@ -104,6 +106,7 @@ class DETR(nn.Module):
                 replace_stride_with_dilation=(False, False, self.dilation),
                 dtype=self.dtype,
                 fuse_residual=self.fuse_residual,
+                fuse_bottleneck=self.fuse_bottleneck and pixel_mask is None,
                 return_interm=self.masks,
                 name="backbone",
             )(images.astype(self.dtype), pixel_mask=pixel_mask)

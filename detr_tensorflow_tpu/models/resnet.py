@@ -98,6 +98,24 @@ class _Conv1x1Kernel(nn.Module):
         )
 
 
+class _ConvKernel(nn.Module):
+    """Like _Conv1x1Kernel for arbitrary kernel sizes (the whole-block
+    fused bottleneck consumes the raw 3x3 weight)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        k = self.kernel_size
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, in_features, self.features),
+            jnp.float32,
+        )
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride/dilation) -> 1x1 bottleneck with frozen BN
     (reference resnet_backbone.py:94-136)."""
@@ -109,6 +127,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Dtype = jnp.float32
     fuse_residual: bool = False  # Pallas fused conv3+bn3+add+relu tail
+    fuse_bottleneck: bool = False  # Pallas whole-block fusion (inference)
 
     @nn.compact
     def __call__(
@@ -118,6 +137,33 @@ class Bottleneck(nn.Module):
             f, (k, k), strides=(s, s), kernel_dilation=(d, d), padding=pad,
             use_bias=False, dtype=self.dtype, name=name,
         )
+        if (
+            self.fuse_bottleneck
+            and not self.downsample
+            and self.strides == 1
+            and self.dilation == 1
+            and valid is None
+            and x.shape[-1] == self.dim2
+            and not self.is_initializing()
+        ):
+            # Whole-block fusion: T1/T2 never leave VMEM
+            # (ops/pallas/fused_bottleneck.py). Identical parameter tree:
+            # the conv kernels are declared with nn.Conv's exact
+            # shapes/names and the frozen-BN affines fold in.
+            from ..ops.pallas import fused_bottleneck as fb
+
+            bn = lambda name, dim: FrozenBatchNorm(  # noqa: E731
+                dtype=self.dtype, name=name
+            )(jnp.zeros((1, dim), self.dtype), scale_shift_only=True)
+            k1 = _Conv1x1Kernel(self.dim1, name="conv1")(x.shape[-1])
+            k2 = _ConvKernel(self.dim1, 3, name="conv2")(self.dim1)
+            k3 = _Conv1x1Kernel(self.dim2, name="conv3")(self.dim1)
+            w1, b1 = fb.fold_bn_params(k1, *bn("bn1", self.dim1))
+            w2, b2 = fb.fold_bn_params(k2, *bn("bn2", self.dim1))
+            w3, b3 = fb.fold_bn_params(k3, *bn("bn3", self.dim2))
+            return fb.fused_bottleneck(
+                x.astype(self.dtype), w1, b1, w2, b2, w3, b3
+            )
         identity = x
         out = conv(self.dim1, 1, 1, 1, "conv1", "VALID")(x)
         out = FrozenBatchNorm(dtype=self.dtype, name="bn1")(out)
@@ -171,6 +217,7 @@ class ResNetStage(nn.Module):
     dilate: bool = False
     dtype: Dtype = jnp.float32
     fuse_residual: bool = False
+    fuse_bottleneck: bool = False
 
     @nn.compact
     def __call__(
@@ -187,13 +234,15 @@ class ResNetStage(nn.Module):
         strides, dilation = (1, 2) if self.dilate else (self.strides, 1)
         x = Bottleneck(
             self.dim1, self.dim2, strides=strides, downsample=True,
-            dtype=self.dtype, fuse_residual=self.fuse_residual, name="block_0",
+            dtype=self.dtype, fuse_residual=self.fuse_residual,
+            fuse_bottleneck=self.fuse_bottleneck, name="block_0",
         )(x, valid=valid_at(*x.shape[1:3]))
         v = valid_at(*x.shape[1:3])
         for i in range(1, self.num_blocks):
             x = Bottleneck(
                 self.dim1, self.dim2, dilation=dilation, dtype=self.dtype,
-                fuse_residual=self.fuse_residual, name=f"block_{i}",
+                fuse_residual=self.fuse_residual,
+                fuse_bottleneck=self.fuse_bottleneck, name=f"block_{i}",
             )(x, valid=v)
         return x
 
@@ -211,6 +260,7 @@ class ResNetBackbone(nn.Module):
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
     dtype: Dtype = jnp.float32
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
+    fuse_bottleneck: bool = False  # Pallas whole-block fusion (inference)
     return_interm: bool = False
 
     @nn.compact
@@ -243,6 +293,7 @@ class ResNetBackbone(nn.Module):
             x = ResNetStage(
                 n_blocks, d1, d2, strides=1 if s == 0 else 2, dilate=dilate[s],
                 dtype=self.dtype, fuse_residual=self.fuse_residual,
+                fuse_bottleneck=self.fuse_bottleneck,
                 name=f"layer{s + 1}",
             )(x, pixel_mask=pixel_mask)
             if self.return_interm and s < 3:

@@ -267,3 +267,80 @@ class TestKernelDropout:
         o1 = mod.apply(variables, x, x, x, train=False)
         o2 = mod.apply(variables, x, x, x, train=False)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+class TestFusedBottleneck:
+    """Whole-block bottleneck fusion (ops/pallas/fused_bottleneck.py):
+    parity vs the XLA conv chain, edge masking, BN folding, and the
+    model flag (identical parameter tree)."""
+
+    def test_matches_reference_chain(self, rng):
+        from detr_tensorflow_tpu.ops.pallas.fused_bottleneck import (
+            fused_bottleneck, reference_bottleneck,
+        )
+
+        for (n, h, w, c, m) in [(1, 9, 12, 32, 8), (2, 16, 10, 16, 16),
+                                (1, 8, 8, 8, 8)]:
+            x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32) * 0.5)
+            mk = lambda *s: jnp.asarray(  # noqa: E731
+                rng.normal(size=s).astype(np.float32) * 0.2
+            )
+            w1, w2, w3 = mk(1, 1, c, m), mk(3, 3, m, m), mk(1, 1, m, c)
+            b1, b2, b3 = mk(m), mk(m), mk(c)
+            got = fused_bottleneck(x, w1, b1, w2, b2, w3, b3)
+            want = reference_bottleneck(x, w1, b1, w2, b2, w3, b3)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
+            )
+
+    def test_bias_relu_edge_masking(self, rng):
+        """Positive biases make relu(b1) != 0 at out-of-image halo
+        positions; the kernel must zero them like the unfused conv2's
+        zero padding (the whole point of the in-kernel mask)."""
+        from detr_tensorflow_tpu.ops.pallas.fused_bottleneck import (
+            fused_bottleneck, reference_bottleneck,
+        )
+
+        n, h, w, c, m = 1, 10, 11, 16, 8
+        x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+        mk = lambda *s: jnp.asarray(  # noqa: E731
+            rng.normal(size=s).astype(np.float32) * 0.3
+        )
+        w1, w2, w3 = mk(1, 1, c, m), mk(3, 3, m, m), mk(1, 1, m, c)
+        b1 = jnp.full((m,), 2.0)  # large positive: halo leakage would show
+        b2, b3 = mk(m), mk(c)
+        got = fused_bottleneck(x, w1, b1, w2, b2, w3, b3)
+        want = reference_bottleneck(x, w1, b1, w2, b2, w3, b3)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
+        )
+
+    def test_model_flag_parity_and_param_tree(self, rng):
+        """DETR(fuse_bottleneck=True) uses the SAME parameter tree and
+        reproduces the XLA model's outputs (bf16-folding tolerance)."""
+        from detr_tensorflow_tpu.models import DETR
+
+        kw = dict(
+            num_classes=5, num_queries=6, model_dim=16, num_heads=2,
+            num_encoder_layers=1, num_decoder_layers=1,
+            dim_feedforward=32, dropout=0.0,
+            backbone_stage_sizes=(2, 1, 1, 1),  # layer1 has 1 identity block
+        )
+        m_xla = DETR(**kw)
+        m_fused = DETR(**kw, fuse_bottleneck=True)
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+        variables = m_xla.init(jax.random.PRNGKey(0), x)
+        v2 = m_fused.init(jax.random.PRNGKey(0), x)
+        assert jax.tree.map(lambda a: a.shape, variables) == jax.tree.map(
+            lambda a: a.shape, v2
+        )
+        out_x = m_xla.apply(variables, x)
+        out_f = m_fused.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(out_f["pred_logits"]), np.asarray(out_x["pred_logits"]),
+            atol=2e-3, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_f["pred_boxes"]), np.asarray(out_x["pred_boxes"]),
+            atol=2e-3, rtol=1e-3,
+        )
