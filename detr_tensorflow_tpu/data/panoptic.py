@@ -95,6 +95,96 @@ def _read_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def load_coco_panoptic_train(
+    config,
+    batch_size: int,
+    ann_file: Optional[str] = None,
+    png_dir: Optional[str] = None,
+    img_dir: Optional[str] = None,
+    num_workers: int = 4,
+    shuffle: bool = True,
+    seed: int = 0,
+):
+    """Panoptic TRAINING dataset: things+stuff segments as set-prediction
+    targets (the DETR-panoptic recipe — every segment, stuff included,
+    becomes one (box, class, mask) target; crowd segments are dropped).
+
+    Yields standard train batches (images/boxes/classes/mask/t_masks at
+    stride 4), so the ordinary `Trainer` + focal/dice mask losses train
+    a panoptic model unchanged — pair with a head sized past the stuff
+    ids (e.g. num_classes=max_stuff_id+2). Augmentation follows the
+    detection train path (masks ride through flips/crops/resize).
+
+    Returns (dataset, class_names) with ``background_class`` /
+    ``stuff_classes`` attributes.
+    """
+    from . import transforms
+    from .masks import pad_instance_masks
+    from .pipeline import WorkerRNG
+
+    ann_file = ann_file or config.data.full_ann_file
+    img_dir = img_dir or config.data.full_img_dir
+    if png_dir is None:
+        png_dir = os.path.splitext(ann_file)[0]
+    index = PanopticIndex(ann_file)
+
+    max_id = max(index.categories) if index.categories else 0
+    class_names = ["N/A"] * (max_id + 2)
+    class_names[-1] = "back"
+    for cid, c in index.categories.items():
+        class_names[cid] = c["name"]
+    background_class = max_id + 1
+    worker_rng = WorkerRNG(seed)
+    max_t = getattr(config, "num_queries", 100)
+
+    def load_example(img_id):
+        ann = index.anns[img_id]
+        img_info = index.images[img_id]
+        image = _read_rgb(os.path.join(img_dir, img_info["file_name"]))
+        id_map = decode_segment_png(
+            _read_rgb(os.path.join(png_dir, ann["file_name"]))
+        )
+        masks, classes, iscrowd, _ = segments_to_masks(
+            id_map, ann["segments_info"]
+        )
+        keep = ~iscrowd
+        masks, classes = masks[keep], classes[keep]
+        if len(masks) == 0:
+            return None
+        h, w = image.shape[:2]
+        boxes = []
+        for m in masks:
+            ys, xs = np.nonzero(m)
+            x0, x1 = xs.min(), xs.max() + 1
+            y0, y1 = ys.min(), ys.max() + 1
+            boxes.append([(x0 + x1) / 2 / w, (y0 + y1) / 2 / h,
+                          (x1 - x0) / w, (y1 - y0) / h])
+        t_bbox = np.asarray(boxes, np.float32)
+        out = transforms.detr_transform(
+            image, t_bbox, classes, config, augmentation=True,
+            rng=worker_rng.get(), masks=masks,
+        )
+        image, t_bbox, t_class, masks = out
+        if len(t_bbox) == 0:
+            return None
+        image = processing.normalized_images(image, config)
+        b, c, mask = processing.pad_targets(t_bbox, t_class, max_targets=max_t)
+        return {
+            "images": image.astype(np.float32),
+            "boxes": b, "classes": c, "mask": mask,
+            "t_masks": pad_instance_masks(masks, max_t),
+        }
+
+    dataset = HostDataset(
+        index.image_ids(), load_example, batch_size, shuffle=shuffle,
+        seed=seed, num_workers=num_workers,
+    )
+    dataset.background_class = background_class
+    dataset.stuff_classes = index.stuff_classes
+    dataset.thing_classes = index.thing_classes
+    return dataset, class_names
+
+
 def load_coco_panoptic(
     config,
     batch_size: int = 1,
