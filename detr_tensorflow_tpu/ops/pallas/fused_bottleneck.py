@@ -115,17 +115,21 @@ def _kernel(
 
 
 def _pick_row_tile(hp: int, width: int, c: int, m: int,
-                   budget: int = 12 * 2 ** 20) -> int:
-    """Largest divisor of hp <= 32 whose VMEM working set fits."""
+                   budget: int = 24 * 2 ** 20) -> int:
+    """Largest divisor of hp <= 32 whose VMEM working set fits.
+
+    Grid-streamed in/out blocks are DOUBLE-buffered by Pallas, so they
+    count twice (measured: a 12 MB single-buffer estimate compiled to a
+    17.3 MB scoped allocation and OOM'd the 16 MB VMEM)."""
     for tr in range(min(hp, 32), 0, -1):
         if hp % tr:
             continue
         est = (
-            (tr + 2) * (width + 2) * c * 2      # x window (bf16)
-            + (tr + 2) * (width + 2) * m * 2    # t1
+            2 * (tr + 2) * (width + 2) * c * 2  # x window (bf16, 2x buf)
+            + (tr + 2) * (width + 2) * m * 4    # t1 (f32 pre-mask)
             + tr * width * m * 4                # acc
-            + tr * width * c * 2                # out
-            + 9 * m * m * 2 + c * m * 4         # weights
+            + 2 * tr * width * c * 2            # out (2x buf)
+            + 9 * m * m * 2 + 2 * c * m * 2     # weights (compute dtype)
         )
         if est <= budget:
             return tr
@@ -188,6 +192,12 @@ def fused_bottleneck(
         ),
         out_shape=jax.ShapeDtypeStruct((n, hp, width, c), dt),
         interpret=interpret,
+        # v5e has 128 MB of physical VMEM; the default 16 MB *scoped*
+        # limit under-serves this kernel's working set (the compiler
+        # materializes ~2.6x the hand-counted buffers in temporaries).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * width * (c * m + 9 * m * m + m * c),
             bytes_accessed=n * h * width * c * 2 * jnp.dtype(dt).itemsize,

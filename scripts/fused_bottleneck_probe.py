@@ -21,17 +21,31 @@ from detr_tensorflow_tpu.ops.pallas.fused_bottleneck import (
     fused_bottleneck, reference_bottleneck,
 )
 
-STAGES = [  # (h, w, c, mid, n_identity_blocks)
-    ("L2", 200, 336, 256, 64, 2),
-    ("L3", 100, 168, 512, 128, 3),
-    ("L4", 50, 84, 1024, 256, 5),
+STAGES = [  # (h, w, c, mid, n_identity_blocks) — smallest first
     ("L5", 25, 42, 2048, 512, 2),
+    ("L4", 50, 84, 1024, 256, 5),
+    ("L3", 100, 168, 512, 128, 3),
+    ("L2", 200, 336, 256, 64, 2),
 ]
+
+
+def relay_health():
+    """~1.3 ms of real device work; wildly larger wall time means the
+    relay is in a stall episode and measurements are garbage."""
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    f = jax.jit(lambda x: (x @ x).sum().astype(jnp.float32))
+    float(f(a))
+    t0 = time.time()
+    for _ in range(4):
+        r = f(a)
+    float(r)
+    return (time.time() - t0) / 4
 
 
 def timeit(fn, *args, iters=8):
     r = fn(*args)
     jax.block_until_ready(r)
+    float(jnp.sum(r[..., 0]).astype(jnp.float32))  # compile the probe sum
     t0 = time.time()
     for _ in range(iters):
         r = fn(*args)
@@ -44,8 +58,12 @@ def main():
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--iters", type=int, default=8)
     args = parser.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print(f"devices={jax.devices()}", file=sys.stderr)
 
+    print(f"relay health: {relay_health()*1e3:.1f} ms for a ~1.3 ms matmul",
+          flush=True)
     rng = np.random.default_rng(0)
     total_xla = total_fused = 0.0
     for name, h, w, c, m, blocks in STAGES:
@@ -63,6 +81,7 @@ def main():
 
         t_ref = timeit(ref, x, w1, b1, w2, b2, w3, b3, iters=args.iters)
         t_fus = timeit(fus, x, w1, b1, w2, b2, w3, b3, iters=args.iters)
+        print(f"  [health now: {relay_health()*1e3:.1f} ms]", flush=True)
 
         err = float(jnp.max(jnp.abs(
             ref(x, w1, b1, w2, b2, w3, b3).astype(jnp.float32)
