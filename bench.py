@@ -37,6 +37,26 @@ import time
 BASELINE_IMAGES_PER_SEC = 28.0  # DETR paper R50 V100 FPS (proxy; see header)
 
 
+def relay_health():
+    """Wall time of a ~1.3 ms jitted 4096^2 bf16 matmul. The remote-TPU
+    relay has multi-minute stall episodes (docs/performance.md "Cold
+    start"); printing this around the cold phases makes a stalled run
+    self-diagnosing in the driver artifact."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    f = jax.jit(lambda x: (x @ x).sum().astype(jnp.float32))
+    float(f(a))
+    t0 = _time.time()
+    for _ in range(4):
+        r = f(a)
+    float(r)
+    return (_time.time() - t0) / 4
+
+
 def bench_inference(on_tpu: bool):
     import jax
     import jax.numpy as jnp
@@ -103,6 +123,14 @@ def bench_inference(on_tpu: bool):
         f"{t_compile:.1f}s, first-exec {t_exec:.1f}s)",
         file=sys.stderr,
     )
+    if on_tpu and t_exec > 60:
+        # A >60s first exec of a ~100ms program is a relay stall, not a
+        # property of the graph — attribute it in the artifact.
+        print(
+            f"bench[infer]: relay health after stall: "
+            f"{relay_health() * 1e3:.1f} ms for a ~1.3 ms matmul",
+            file=sys.stderr,
+        )
     float(forward(variables, images))  # steady-state warmup
 
     t0 = time.time()
