@@ -109,20 +109,28 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
         if probs_ is not None and "t_masks" in batch:
             if use_full:
                 # COCO protocol: score at original image resolution.
+                # Only the kept (non-background) queries are upsampled —
+                # both AP and the panoptic merge ignore the rest, and
+                # the host-side bilinear over 100 full-res channels is
+                # the eval loop's dominant cost otherwise.
+                sel = np.nonzero(keep0)[0]
                 up = inference.upsample_mask_probs(
-                    np.asarray(probs_[0]), (orig_h, orig_w)
-                )  # (H, W, Q)
-                p_masks = up[:, :, keep0] > 0.5
+                    np.asarray(probs_[0])[sel], (orig_h, orig_w)
+                )  # (H, W, n_kept)
+                p_masks = up > 0.5
                 gt_masks_full = (
                     batch["t_masks_full"][0][:n, :orig_h, :orig_w] > 0
                 )
                 t_masks = gt_masks_full.transpose(1, 2, 0)
                 if report_pq:
                     seg_full = inference.np_merge_full_res(
-                        up, np.asarray(scores_[0]), keep0
+                        up, np.asarray(scores_[0])[sel],
+                        np.ones(len(sel), bool),
+                    ) if len(sel) else np.full(
+                        (orig_h, orig_w), -1, np.int32
                     )
                     pq_pred_maps.append(seg_full)
-                    pq_pred_labels.append(np.asarray(labels_[0]))
+                    pq_pred_labels.append(np.asarray(labels_[0])[sel])
                     pq_gt_masks.append(gt_masks_full)
                     pq_gt_classes.append(np.asarray(batch["classes"][0][:n]))
                     pq_gt_crowd.append(
