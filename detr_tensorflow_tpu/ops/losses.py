@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import boxes
-from .matcher import hungarian_match
+from .matcher import hungarian_match_batch
 
 Array = jnp.ndarray
 
@@ -122,6 +122,8 @@ def single_layer_loss(
     eos_weight: float = 0.1,
     p_masks: Array = None,
     t_masks: Array = None,
+    match: Dict[str, Array] = None,
+    lap_impl: str = "xla",
 ) -> Dict[str, Array]:
     """Set loss for one decoder layer over a batch.
 
@@ -132,11 +134,19 @@ def single_layer_loss(
       t_class:  (B, T) padded target class ids.
       t_mask:   (B, T) bool validity of target slots.
       background_class: id of the background ("no object") class.
+      match: optional precomputed ``hungarian_match_batch`` result for
+        this layer -- ``detr_loss`` batches the matching of every
+        decoder layer into one solver call and passes the slices in.
+      lap_impl: LAP solver used when ``match`` is None (see
+        ``ops.matcher.solve_lap_masked_batch``).
 
     Returns dict of scalars: label_cost, giou_loss, l1_loss, true_neg,
     true_pos, pos_accuracy (names match reference loss.py:166-173).
     """
-    match = jax.vmap(hungarian_match)(p_boxes, p_logits, t_bbox, t_class, t_mask)
+    if match is None:
+        match = hungarian_match_batch(
+            p_boxes, p_logits, t_bbox, t_class, t_mask, impl=lap_impl
+        )
     t_of_p = match["target_of_pred"]  # (B, Q)
     matched = match["pred_matched"]  # (B, Q) bool
 
@@ -199,6 +209,7 @@ def detr_loss(
     t_mask: Array,
     background_class: int,
     t_masks: Array = None,
+    lap_impl: str = "xla",
 ) -> Tuple[Array, Dict[str, Array]]:
     """Full DETR training loss: final layer + auxiliary decoder layers.
 
@@ -216,6 +227,28 @@ def detr_loss(
     naming: plain names for the final layer, ``_i`` suffix per aux layer
     (loss.py:26-29).
     """
+    has_aux = "aux_logits" in outputs and outputs["aux_logits"] is not None
+
+    # One LAP solve for every decoder layer: stack final + aux into a
+    # (A+1, B) problem batch so the solver — in particular the fused
+    # Pallas kernel (lap_impl="pallas") — launches once per step.
+    if has_aux:
+        all_logits = jnp.concatenate(
+            [outputs["pred_logits"][None], outputs["aux_logits"]], axis=0
+        )
+        all_boxes = jnp.concatenate(
+            [outputs["pred_boxes"][None], outputs["aux_boxes"]], axis=0
+        )
+        n_layers = all_logits.shape[0]
+        bcast = lambda x: jnp.broadcast_to(x, (n_layers,) + x.shape)
+        match_all = hungarian_match_batch(
+            all_boxes, all_logits, bcast(t_bbox), bcast(t_class),
+            bcast(t_mask), impl=lap_impl,
+        )
+        match_final = {k: v[0] for k, v in match_all.items()}
+    else:
+        match_final = None
+
     log = single_layer_loss(
         outputs["pred_logits"], outputs["pred_boxes"], t_bbox, t_class, t_mask,
         background_class,
@@ -223,15 +256,18 @@ def detr_loss(
         # head consumes hs[-1] (models/detr.py), like the DETR paper.
         p_masks=outputs.get("pred_masks"),
         t_masks=t_masks,
+        match=match_final,
+        lap_impl=lap_impl,
     )
 
-    if "aux_logits" in outputs and outputs["aux_logits"] is not None:
+    if has_aux:
         aux_fn = jax.vmap(
-            lambda lg, bx: single_layer_loss(
-                lg, bx, t_bbox, t_class, t_mask, background_class
+            lambda lg, bx, m: single_layer_loss(
+                lg, bx, t_bbox, t_class, t_mask, background_class, match=m
             )
         )
-        aux = aux_fn(outputs["aux_logits"], outputs["aux_boxes"])
+        aux_match = {k: v[1:] for k, v in match_all.items()}
+        aux = aux_fn(outputs["aux_logits"], outputs["aux_boxes"], aux_match)
         n_aux = outputs["aux_logits"].shape[0]
         for a in range(n_aux):
             for key in ("label_cost", "giou_loss", "l1_loss", "true_neg",

@@ -242,5 +242,75 @@ def hungarian_match(
     }
 
 
-# Batched version: vmap over leading batch dim.
-hungarian_match_batch = jax.vmap(hungarian_match, in_axes=(0, 0, 0, 0, 0))
+def solve_lap_masked_batch(cost: Array, row_mask: Array, impl: str = "xla"):
+    """Batched partial LAP over arbitrary leading dims.
+
+    Args:
+      cost: (..., R, C) float cost matrices.
+      row_mask: (..., R) bool, prefix-form.
+      impl: "xla" -- vmapped while-loop solver (above); "pallas" -- one
+        fused Mosaic program, one grid step per problem
+        (ops/pallas/lap.py). Both are exact JV and produce identical
+        assignments; pallas eliminates the per-iteration XLA dispatch
+        overhead that dominates the vmapped solver's device time
+        (docs/performance.md, train roofline).
+
+    Returns: (..., R) int32 col_of_row, -1 for masked rows.
+    """
+    lead = cost.shape[:-2]
+    if impl == "pallas":
+        from .pallas.lap import solve_lap_masked_pallas
+
+        flat = solve_lap_masked_pallas(
+            cost.reshape((-1,) + cost.shape[-2:]),
+            row_mask.reshape((-1, row_mask.shape[-1])),
+        )
+        return flat.reshape(lead + (cost.shape[-2],))
+    if impl != "xla":
+        raise ValueError(f"unknown LAP impl {impl!r}")
+    fn = solve_lap_masked
+    for _ in lead:
+        fn = jax.vmap(fn)
+    return fn(cost, row_mask)
+
+
+def hungarian_match_batch(
+    p_bbox: Array,
+    p_logits: Array,
+    t_bbox: Array,
+    t_class: Array,
+    t_mask: Array,
+    impl: str = "xla",
+):
+    """``hungarian_match`` over arbitrary leading dims, batching the LAP
+    solve into a single call so ``impl="pallas"`` runs every problem --
+    all aux layers x the whole batch -- as one fused kernel launch."""
+    lead = p_bbox.shape[:-2]
+    q = p_bbox.shape[-2]
+    t = t_bbox.shape[-2]
+    assert t <= q, (t, q)
+
+    cm = cost_matrix
+    for _ in lead:
+        cm = jax.vmap(cm)
+    cost = cm(p_bbox, p_logits, t_bbox, t_class, t_mask)  # (..., Q, T)
+
+    pred_of_target = solve_lap_masked_batch(
+        jnp.swapaxes(cost, -1, -2), t_mask, impl=impl
+    )  # (..., T)
+
+    def invert(pot):
+        scatter_idx = jnp.where(pot >= 0, pot, q)
+        return jnp.full((q,), -1, jnp.int32).at[scatter_idx].set(
+            jnp.arange(t, dtype=jnp.int32), mode="drop"
+        )
+
+    inv = invert
+    for _ in lead:
+        inv = jax.vmap(inv)
+    target_of_pred = inv(pred_of_target)
+    return {
+        "target_of_pred": target_of_pred,
+        "pred_of_target": pred_of_target,
+        "pred_matched": target_of_pred >= 0,
+    }

@@ -1,0 +1,227 @@
+"""Fused Pallas TPU kernel for the batched linear assignment problem.
+
+``ops/matcher.py`` solves DETR's Hungarian matching on-device with an
+exact Jonker-Volgenant solver written as nested ``lax.while_loop``s.
+Under ``vmap`` that is correct and host-roundtrip-free (unlike the
+reference, which ships every cost matrix to scipy through
+``tf.numpy_function``, detr_tf/loss/hungarian_matching.py:27-46), but
+the train-step trace attributes ~3.7 ms of the 27.7 ms step to those
+while programs: each lockstep iteration is a handful of tiny (P, 128)
+ops, so the time is XLA per-iteration dispatch overhead, not compute
+(docs/performance.md, train roofline).
+
+This kernel runs the *entire* solver as one Mosaic program, one grid
+step per (aux layer x batch) problem. Per-iteration work compiles to a
+few VPU ops on (1, 128) vector registers, so the serial section costs
+nanoseconds per step instead of microseconds.
+
+Formulation (exact JV, same augmenting-path order as matcher.py, so the
+assignments are bit-identical):
+
+  * All column state -- potentials ``v``, matched row ``p``, Dijkstra
+    distances ``minv``, predecessor ``way``, visited set ``used`` --
+    lives in single (1, 128) vectors: DETR's 100 queries + 1 virtual
+    column fit one TPU lane register.
+  * Row potentials ``u`` are never materialized. We track
+    ``w[j] = u[p[j]]`` instead: the classic update "u[p[j]] += delta
+    for used j" becomes the vector select ``w = where(used, w+delta,
+    w)`` -- no scatter, which Mosaic has no fast lowering for. The
+    augmenting-path relink copies ``w`` along the same predecessor
+    chain as ``p``, preserving the invariant.
+  * ``argmin`` is two min-reductions (value, then lowest lane index at
+    that value) -- ties break to the lowest column index, matching
+    ``jnp.argmin`` in matcher.py.
+  * The only memory access in the inner loop is one dynamic-sublane row
+    load ``cost[i0, :]`` from the problem's VMEM-resident cost block.
+
+Masked (padded) rows are skipped entirely: the row loop runs
+``n_real[b]`` iterations (scalar-prefetched from SMEM), so the work per
+problem scales with the number of real objects, and -- unlike the
+vmapped XLA solver, which runs every problem in lockstep for the batch
+*max* -- problems are independent grid steps.
+
+Measured verdict (v5e, batch 8, 376x672, 7 layers x 8 = 56 problems,
+``scripts/train_probe.py --lap_impl {xla,pallas}``): the full fused
+train step measures **27.48 ms (291 img/s) with the XLA solver vs
+51.93 ms (154 img/s) with this kernel**. Mosaic grid steps execute
+*serially* on a TPU core, so the 56 problems run one after another,
+each a serial augmenting-path loop -- whereas the vmapped XLA solver
+pays per-iteration dispatch but amortizes it across the whole batch in
+lockstep vector ops. The kernel stays available (``lap_impl="pallas"``,
+bit-identical assignments, tests in tests/test_lap_pallas.py) but the
+default remains ``"xla"``. What *did* land from this work is the
+restructure it required: ``detr_loss`` now batches the matching of all
+decoder layers into one solver call (291.2 vs 284.7 img/s round 2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 1e9  # python float: jnp constants would be captured device values
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lap_kernel(
+    n_ref, cost_ref, p_ref, v_s, w_s, minv_s, way_s, used_s, ps_s, *, n_cols: int
+):
+    """Solve one LAP: cost_ref (1, RP, 128) with 1-indexed rows/cols.
+
+    n_ref: (P, 1) int32 in SMEM (whole array) -- real rows per problem.
+    p_ref: (1, 8, 128) int32 out -- p[j] = 1-indexed row matched to
+           column j (0 = free); only row 0 is meaningful.
+    v_s/w_s/minv_s (1, 128) f32, way_s/used_s/ps_s (1, 128) i32: VMEM
+    scratch holding all column state. The ``lax.while_loop``s carry
+    *scalars only* -- Mosaic cannot legalize ``scf.yield`` of vector
+    carries whose layouts change across the body (replicated splat
+    inits vs concrete select results), and scratch stores sidestep the
+    relayout entirely.
+    n_cols: static number of real columns (candidate lanes 1..n_cols).
+    """
+    lanes = lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    # Candidate columns: real (1..n_cols), never the virtual column 0.
+    lane_real = jnp.logical_and(lanes >= 1, lanes <= n_cols)
+    n_real = n_ref[pl.program_id(0), 0]
+
+    def pick_f32(vec, j):
+        """vec[0, j] as a scalar (lane select + full reduction)."""
+        return jnp.sum(jnp.where(lanes == j, vec, 0.0))
+
+    def pick_i32(vec, j):
+        return jnp.sum(jnp.where(lanes == j, vec, 0))
+
+    v_s[...] = jnp.zeros((1, _LANES), jnp.float32)
+    w_s[...] = jnp.zeros((1, _LANES), jnp.float32)
+    ps_s[...] = jnp.zeros((1, _LANES), jnp.int32)
+
+    def insert_row(i):
+        # Virtual column 0 carries the row being inserted; its (fresh)
+        # row potential u[i] = 0 rides in w[0].
+        ps_s[...] = jnp.where(lanes == 0, i, ps_s[...])
+        w_s[...] = jnp.where(lanes == 0, 0.0, w_s[...])
+        minv_s[...] = jnp.full((1, _LANES), _INF, jnp.float32)
+        way_s[...] = jnp.zeros((1, _LANES), jnp.int32)
+        used_s[...] = jnp.zeros((1, _LANES), jnp.int32)
+
+        def search_cond(s):
+            _, i0 = s
+            return i0 != 0  # stop when the current column is free
+
+        def search_body(s):
+            j0, i0 = s
+            used = jnp.where(lanes == j0, 1, used_s[...])
+            u0 = pick_f32(w_s[...], j0)  # u[i0]
+
+            # Relax every unused real column from row i0.
+            v = v_s[...]
+            cur = cost_ref[0, pl.ds(i0, 1), :] - u0 - v  # (1, 128)
+            cand = jnp.logical_and(lane_real, used == 0)
+            minv = minv_s[...]
+            better = jnp.logical_and(cand, cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way_s[...] = jnp.where(better, j0, way_s[...])
+
+            # Closest unused real column (lowest index on ties).
+            masked = jnp.where(cand, minv, _INF)
+            delta = jnp.min(masked)
+            j1 = jnp.min(jnp.where(masked == delta, lanes, _LANES))
+
+            # Potential update: u[p[j]] += delta / v[j] -= delta over
+            # used columns -- pure vector selects via the w-trick.
+            usedb = used == 1
+            w_s[...] = jnp.where(usedb, w_s[...] + delta, w_s[...])
+            v_s[...] = jnp.where(usedb, v - delta, v)
+            minv_s[...] = jnp.where(usedb, minv, minv - delta)
+            used_s[...] = used
+
+            i1 = pick_i32(ps_s[...], j1)
+            return j1, i1
+
+        # p[0] = i, so the search enters with i0 = i (a real row).
+        j0, _ = lax.while_loop(search_cond, search_body, (jnp.int32(0), i))
+
+        # Augment: relink p (and its potential shadow w) back along the
+        # predecessor chain to the virtual column.
+        def aug_body(j):
+            j1 = pick_i32(way_s[...], j)
+            ps_s[...] = jnp.where(lanes == j, pick_i32(ps_s[...], j1), ps_s[...])
+            w_s[...] = jnp.where(lanes == j, pick_f32(w_s[...], j1), w_s[...])
+            return j1
+
+        lax.while_loop(lambda j: j != 0, aug_body, j0)
+
+    def rows_body(i):
+        insert_row(i)
+        return i + 1
+
+    lax.while_loop(lambda i: i <= n_real, rows_body, jnp.int32(1))
+    p_ref[0] = jnp.broadcast_to(ps_s[...], (8, _LANES))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_lap_masked_pallas(cost, row_mask, interpret: bool = None):
+    """Batched partial rectangular LAP, one Mosaic program.
+
+    Exact JV solver; same optimum (and same assignment) as
+    ``matcher.solve_lap_masked`` under ``vmap``, in a single fused
+    kernel with one grid step per problem.
+
+    Args:
+      cost: (P, R, C) float32 cost matrices, C <= 127, R <= C padded
+        rows allowed (masked rows' costs are ignored).
+      row_mask: (P, R) bool, prefix-form (True rows first).
+      interpret: run the Pallas interpreter (defaults to True off-TPU).
+
+    Returns:
+      col_of_row: (P, R) int32 -- assigned column per row, -1 for
+      masked rows.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p_, r, c = cost.shape
+    if c + 1 > _LANES:
+        raise ValueError(f"LAP kernel supports <= {_LANES - 1} columns, got {c}")
+    cost = lax.stop_gradient(cost.astype(jnp.float32))
+
+    rows_pad = _round_up(r + 1, 8)
+    costp = jnp.zeros((p_, rows_pad, _LANES), jnp.float32)
+    costp = costp.at[:, 1 : r + 1, 1 : c + 1].set(cost)
+    n_real = jnp.sum(row_mask.astype(jnp.int32), axis=-1).reshape(p_, 1)
+
+    p_cols = pl.pallas_call(
+        functools.partial(_lap_kernel, n_cols=c),
+        grid=(p_,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows_pad, _LANES), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, _LANES), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p_, 8, _LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, _LANES), jnp.float32),  # v
+            pltpu.VMEM((1, _LANES), jnp.float32),  # w
+            pltpu.VMEM((1, _LANES), jnp.float32),  # minv
+            pltpu.VMEM((1, _LANES), jnp.int32),    # way
+            pltpu.VMEM((1, _LANES), jnp.int32),    # used
+            pltpu.VMEM((1, _LANES), jnp.int32),    # p
+        ],
+        interpret=interpret,
+    )(n_real, costp)[:, 0, 1 : c + 1]  # (P, C), drop the virtual column
+
+    # Invert p[j] = 1-indexed row -> col_of_row, -1 for masked rows.
+    scatter_rows = jnp.where(p_cols > 0, p_cols - 1, r)  # r -> dropped
+    col_of_row = jnp.full((p_, r), -1, jnp.int32)
+    col_of_row = jax.vmap(
+        lambda co, sr: co.at[sr].set(jnp.arange(c, dtype=jnp.int32), mode="drop")
+    )(col_of_row, scatter_rows)
+    return col_of_row

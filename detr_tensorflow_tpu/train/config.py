@@ -86,6 +86,10 @@ class TrainingConfig:
     # TPU-native knobs
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
     attn_impl: str = "xla"  # "pallas" to use the flash-attention kernel
+    # LAP solver for Hungarian matching: "pallas" fuses all per-layer
+    # matchings into one Mosaic program (ops/pallas/lap.py); "xla" is
+    # the vmapped while-loop solver. Same exact assignments either way.
+    lap_impl: str = "xla"
     num_queries: int = 100
     data_parallel: int = 1  # devices along the mesh's data axis
     checkpoint_dir: Optional[str] = None
@@ -153,6 +157,8 @@ def training_config_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
+    p.add_argument("--lap_impl", type=str, default=None, choices=["xla", "pallas"],
+                   help="Hungarian-matching LAP solver (pallas = fused kernel)")
     p.add_argument("--backbone_depth", type=int, default=None, choices=[50, 101],
                    help="ResNet depth: DETR-R50 (default) or DETR-R101")
     p.add_argument("--dilation", action="store_true", default=None,

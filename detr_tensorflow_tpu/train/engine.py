@@ -82,6 +82,7 @@ def make_train_step(
     lrs: {'backbone','transformers','nlayers'} scalar f32 arrays.
     """
     background_class = int(config.background_class)
+    lap_impl = getattr(config, "lap_impl", "xla")
 
     def step_fn(state: TrainState, batch, lrs):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
@@ -96,6 +97,7 @@ def make_train_step(
             total, log = detr_loss(
                 out, batch["boxes"], batch["classes"], batch["mask"],
                 background_class, t_masks=batch.get("t_masks"),
+                lap_impl=lap_impl,
             )
             return total, log
 
@@ -135,6 +137,7 @@ def make_train_step(
 def make_eval_step(model, config, mesh=None) -> Callable:
     """Jitted validation step: (state, batch) -> log (loss metrics)."""
     background_class = int(config.background_class)
+    lap_impl = getattr(config, "lap_impl", "xla")
 
     def step_fn(state: TrainState, batch):
         out = model.apply(
@@ -145,6 +148,7 @@ def make_eval_step(model, config, mesh=None) -> Callable:
         total, log = detr_loss(
             out, batch["boxes"], batch["classes"], batch["mask"],
             background_class, t_masks=batch.get("t_masks"),
+            lap_impl=lap_impl,
         )
         log = dict(log)
         log["total_loss"] = total

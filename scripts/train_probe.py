@@ -42,6 +42,8 @@ def main():
     parser.add_argument("--trace", type=str, default=None)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--size", type=int, nargs=2, default=(376, 672))
+    parser.add_argument("--lap_impl", type=str, default="xla",
+                        choices=["xla", "pallas"])
     args = parser.parse_args()
 
     import jax
@@ -67,6 +69,7 @@ def main():
     config = TrainingConfig(
         background_class=91, train_backbone=True, train_transformers=True,
         train_nlayers=True, batch_size=b, target_batch=b,
+        lap_impl=args.lap_impl,
     )
     trainer = Trainer(model, variables, config)
 
@@ -88,7 +91,7 @@ def main():
         out = model.apply({"params": p, "frozen": frozen}, batch["images"],
                           train=True, rngs={"dropout": key})
         total, _ = detr_loss(out, batch["boxes"], batch["classes"],
-                             batch["mask"], 91)
+                             batch["mask"], 91, lap_impl=args.lap_impl)
         return total
 
     fwd = jax.jit(loss_fn)
