@@ -325,5 +325,6 @@ class Transformer(nn.Module):
             stage_fn, stage_params, tree, spec.mesh,
             n_micro=n_micro, stage_axis=spec.stage_axis,
             data_axis=spec.data_axis,
+            tp_axis=getattr(spec, "tp_axis", None),
         )
         return out["src"]

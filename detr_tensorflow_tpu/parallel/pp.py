@@ -20,9 +20,13 @@ Composition: the ``shard_map`` in/out specs carry an optional data axis
 alongside the stage axis, so DP x PP runs as one mesh
 (``make_mesh(axis_names=("data", "stage"), ...)``) with gradient
 all-reduce over ``data`` inserted by GSPMD outside the shard_map as
-usual (tested). Layering TP *inside* a stage would use shard_map's
-auto-axes (manual over ``stage``, GSPMD over ``model``) — left for a
-model that actually needs three axes at once.
+usual (tested). TP *inside* a stage is the third axis (``tp_axis=``):
+the shard_map goes partial-manual (``axis_names`` lists only
+stage/data), the model axis stays *auto*, and GSPMD shards each stage's
+matmuls from the parameters' own TP shardings (parallel/tp.py
+annotations ride through the stacked stage params) — DP x PP x TP in
+one XLA program, no new communication code
+(tests/test_pipeline_parallel.py).
 
 At DETR scale (41M params) PP is not *needed* — this is the framework
 capability that lets the same codebase scale a deeper/wider variant
@@ -51,16 +55,20 @@ class PipelineSpec:
 
     Attrs:
       mesh: the device mesh carrying ``stage_axis`` (and optionally a
-        data axis for DP x PP).
+        data axis for DP x PP and a model axis for TP-inside-stage).
       n_micro: microbatches per batch (None = 2*n_stages rounded down
         to divide the batch).
       stage_axis / data_axis: mesh axis names.
+      tp_axis: mesh axis for tensor parallelism *inside* each stage —
+        left auto (GSPMD) while stage/data are manual; shard the
+        parameters over it with parallel/tp.py.
     """
 
     mesh: Mesh
     n_micro: Optional[int] = None
     stage_axis: str = "stage"
     data_axis: Optional[str] = None
+    tp_axis: Optional[str] = None
 
 
 def stack_stage_params(per_stage: Sequence[Pytree]) -> Pytree:
@@ -78,6 +86,7 @@ def pipeline_forward(
     n_micro: int,
     stage_axis: str = "stage",
     data_axis: str = None,  # set to compose DP x PP on a 2-D mesh
+    tp_axis: str = None,    # set to compose TP inside each stage (auto axis)
 ) -> Pytree:
     """Run ``x`` through ``n_stages`` pipelined applications of
     ``stage_fn`` (stage i uses ``stage_params[i]``), GPipe-scheduled.
@@ -139,12 +148,22 @@ def pipeline_forward(
         )
 
     spec_x = P(None, data_axis) if data_axis else P()
+    kwargs = {}
+    if tp_axis is not None:
+        # Partial-manual: stage (and data) are manual inside the body,
+        # tp_axis stays auto so GSPMD shards each stage's matmuls from
+        # the parameters' own TP shardings (parallel/tp.py) and inserts
+        # the per-block all-reduce itself.
+        kwargs["axis_names"] = frozenset(
+            {stage_axis} | ({data_axis} if data_axis else set())
+        )
     out = shard_map(
         per_stage,
         mesh=mesh,
         in_specs=(P(stage_axis), spec_x),
         out_specs=spec_x,
         check_vma=False,
+        **kwargs,
     )(stage_params, xs_padded)
     return jax.tree.map(
         lambda a: a.reshape(b, *a.shape[2:]), out
@@ -194,6 +213,7 @@ def pipeline_transformer_encoder(
     n_micro: int = None,
     stage_axis: str = "stage",
     data_axis: str = None,
+    tp_axis: str = None,
 ) -> jnp.ndarray:
     """Pipeline a DETR encoder stack (models/transformer.py layers
     ``encoder_layer_{i}``) over the mesh's stage axis.
@@ -215,4 +235,5 @@ def pipeline_transformer_encoder(
     return pipeline_forward(
         scan_layers(encoder_layer_apply), stage_params, src, mesh,
         n_micro=n_micro, stage_axis=stage_axis, data_axis=data_axis,
+        tp_axis=tp_axis,
     )
