@@ -5,10 +5,11 @@ calls ``scipy.optimize.linear_sum_assignment`` inside a
 ``tf.numpy_function`` (detr_tf/loss/hungarian_matching.py:27-46,197),
 serializing device->host->device per image. Here the linear assignment
 problem is solved **on the TPU** with the Jonker-Volgenant shortest
-augmenting path algorithm (the same algorithm family scipy uses),
-expressed as ``lax.fori_loop`` over rows with vectorized column
-relaxations — all static shapes, so it jit-compiles once and ``vmap``s
-over (decoder_layer, batch).
+augmenting path algorithm (the same algorithm family scipy uses): a
+vectorized row-reduction pre-pass assigns every uncontested row in one
+step, then a ``lax.while_loop`` augments only the collided rows with
+vectorized column relaxations — all static shapes, so it jit-compiles
+once and ``vmap``s over (decoder_layer, batch).
 
 Cost semantics match hungarian_matching.py:163-195:
     cost = 5 * L1(xcycwh) + 1 * (-softmax_prob[target_class]) + 2 * (-GIoU)
@@ -44,6 +45,15 @@ def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
     magnitude fewer device-serialized loop steps than solving the padded
     square problem.
 
+    A vectorized JV row-reduction pre-pass shrinks the serial section
+    further: duals start at u[i] = min_j cost[i, j], and every row whose
+    argmin column is claimed by no lower row is assigned outright in one
+    vector step (the assignment satisfies complementary slackness, so
+    augmenting the leftovers from this state is still exact). Only rows
+    whose argmin *collides* go through the serial Dijkstra — for DETR
+    cost matrices (a handful of targets choosing among 100 queries)
+    that is typically 0-2 rows per problem instead of all of them.
+
     Args:
       cost: (R, C) float cost matrix, R <= C, finite everywhere.
       row_mask: (R,) bool — rows to actually assign.
@@ -72,11 +82,18 @@ def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
         used0 = jnp.zeros((c + 1,), bool)
 
         def search_cond(s):
-            _, _, _, _, _, j0 = s
-            return p[j0] != 0  # stop when current column is free
+            _, _, _, _, _, j0, alive = s
+            # Stop when the current column is free. The `alive` guard
+            # exits when no candidate column remains — impossible for a
+            # live problem (a free column always exists while any real
+            # row is unmatched), but reachable in the *discarded* lanes
+            # a vmapped while_loop keeps running after a problem with
+            # fewer conflicts has finished; without it those lanes spin
+            # forever re-inserting rows into a complete matching.
+            return jnp.logical_and(alive, p[j0] != 0)
 
         def search_body(s):
-            u_, v_, minv, way, used, j0 = s
+            u_, v_, minv, way, used, j0, _ = s
             used = used.at[j0].set(True)
             i0 = p[j0]
 
@@ -100,10 +117,11 @@ def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
             v_ = jnp.where(used, v_ - delta, v_)
             minv = jnp.where(used, minv, minv - delta)
 
-            return u_, v_, minv, way, used, j1
+            return u_, v_, minv, way, used, j1, delta < _INF / 2
 
-        u, v, _, way, _, j0 = lax.while_loop(
-            search_cond, search_body, (u, v, minv0, way0, used0, jnp.int32(0))
+        u, v, _, way, _, j0, _ = lax.while_loop(
+            search_cond, search_body,
+            (u, v, minv0, way0, used0, jnp.int32(0), True),
         )
 
         # Augment: walk the predecessor chain back to the virtual column.
@@ -127,20 +145,66 @@ def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
     # under vmap it is the max across the batch — not the 100 slots.
     # (A fori+cond formulation would evaluate the skipped branch for
     # every padded row under vmap.)
+    # --- JV row-reduction pre-pass (vectorized, zero serial steps) ---
+    # u[i] = row minimum (dual-feasible: cost - u - v >= 0 with v = 0);
+    # a row whose argmin column no lower real row also wants is matched
+    # to it immediately (cost[i, jmin] - u[i] - v[jmin] = 0, so the
+    # pair satisfies complementary slackness and the subsequent
+    # augmenting-path phase stays exact). Ties: argmin takes the lowest
+    # column, the lowest row wins a contested column — identical to the
+    # Pallas kernel's pre-pass (ops/pallas/lap.py).
+    # (All of this is small dense elementwise/reduction work — no sorts
+    # and no scatters, which XLA:TPU lowers poorly at these sizes.)
+    rows_idx = jnp.arange(r, dtype=jnp.int32)
+    rowmin = jnp.min(cost, axis=1)           # (r,)
+    jmin = jnp.argmin(cost, axis=1).astype(jnp.int32)  # (r,)
+    onehot = jmin[:, None] == jnp.arange(c, dtype=jnp.int32)[None, :]
+    claim = jnp.logical_and(onehot, row_mask[:, None])  # (r, c)
+    winner = jnp.min(
+        jnp.where(claim, rows_idx[:, None], r), axis=0
+    )                                        # (c,), r = unclaimed
+    winner_of_row = jnp.min(
+        jnp.where(onehot, winner[None, :], r), axis=1
+    )                                        # = winner[jmin[i]]
+    assigned = jnp.logical_and(row_mask, winner_of_row == rows_idx)
+
+    u0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.where(row_mask, rowmin, 0.0)]
+    )
+    v0 = jnp.zeros((c + 1,), jnp.float32)
+    p0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.where(winner < r, winner + 1, 0)]
+    )
+
+    # Serial phase: only the rows whose argmin collided. Pack them to
+    # the front (increasing row index, the same insertion order as
+    # before) so the while_loop runs exactly n_conflicts
+    # device-serialized steps — under vmap, the max across the batch.
+    # Entries past n_todo are 0 (the virtual row): inserting row 0 is a
+    # no-op whose search exits immediately, keeping the *discarded*
+    # iterations a vmapped while_loop runs for already-finished lanes
+    # both safe and free.
+    todo_mask = jnp.logical_and(row_mask, ~assigned)
+    n_todo = jnp.sum(todo_mask.astype(jnp.int32))
+    cum = jnp.cumsum(todo_mask.astype(jnp.int32))  # (r,)
+    sel = jnp.logical_and(
+        todo_mask[None, :], cum[None, :] == rows_idx[:, None] + 1
+    )  # sel[k, i]: row i is the k-th conflicted row
+    todo = jnp.min(jnp.where(sel, rows_idx[None, :] + 1, r + 1), axis=1)
+    todo = jnp.where(todo > r, 0, todo).astype(jnp.int32)
+
     def outer_cond(s):
-        i, _, _, _ = s
-        return jnp.logical_and(i <= r, row_mask[jnp.minimum(i, r) - 1])
+        k, _, _, _ = s
+        return k < n_todo
 
     def outer_body(s):
-        i, u, v, p = s
-        u, v, p = augment_row(i, (u, v, p))
-        return i + 1, u, v, p
+        k, u, v, p = s
+        u, v, p = augment_row(todo[k], (u, v, p))
+        return k + 1, u, v, p
 
-    u0 = jnp.zeros((r + 1,), jnp.float32)
-    v0 = jnp.zeros((c + 1,), jnp.float32)
-    p0 = jnp.zeros((c + 1,), jnp.int32)
     _, _, _, p = lax.while_loop(
-        outer_cond, outer_body, (jnp.int32(1), u0, v0, p0)
+        outer_cond, outer_body, (jnp.int32(0), u0, v0, p0)
     )
 
     # p[j] = row (1-indexed) matched to column j; invert to col_of_row.

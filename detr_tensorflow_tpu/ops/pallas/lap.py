@@ -100,15 +100,49 @@ def _lap_kernel(
     def pick_i32(vec, j):
         return jnp.sum(jnp.where(lanes == j, vec, 0))
 
+    # --- JV row-reduction pre-pass (one 2-D vector step, no loop) ---
+    # Mirrors matcher.py exactly: u[i] = row minimum, every real row
+    # whose argmin column no lower row also wants is matched outright;
+    # only collided rows go through the serial Dijkstra below. Ties
+    # break to the lowest column / lowest row, like the XLA solver, so
+    # assignments stay bit-identical across impls.
+    c2 = cost_ref[0]  # (rows_pad, 128), rows/cols 1-indexed
+    rows_pad = c2.shape[0]
+    lanes2 = lax.broadcasted_iota(jnp.int32, c2.shape, 1)
+    rows2 = lax.broadcasted_iota(jnp.int32, c2.shape, 0)
+    lane_real2 = jnp.logical_and(lanes2 >= 1, lanes2 <= n_cols)
+    row_real2 = jnp.logical_and(rows2 >= 1, rows2 <= n_real)
+    cm = jnp.where(lane_real2, c2, _INF)
+    rowmin = jnp.min(cm, axis=1, keepdims=True)              # (RP, 1)
+    jmin = jnp.min(
+        jnp.where(cm == rowmin, lanes2, _LANES), axis=1, keepdims=True
+    )                                                        # (RP, 1)
+    match2 = jnp.logical_and(lanes2 == jmin, row_real2)      # (RP, 128)
+    winner = jnp.min(
+        jnp.where(match2, rows2, rows_pad), axis=0, keepdims=True
+    )                                                        # (1, 128)
+    won = winner < rows_pad
     v_s[...] = jnp.zeros((1, _LANES), jnp.float32)
-    w_s[...] = jnp.zeros((1, _LANES), jnp.float32)
-    ps_s[...] = jnp.zeros((1, _LANES), jnp.int32)
+    ps_s[...] = jnp.where(won, winner, 0)
+    # w[j] = u[p[j]] = rowmin[winner[j]] for matched columns.
+    wmin = jnp.min(
+        jnp.where(
+            jnp.logical_and(match2, rows2 == winner),
+            jnp.broadcast_to(rowmin, c2.shape), _INF,
+        ),
+        axis=0, keepdims=True,
+    )
+    w_s[...] = jnp.where(won, wmin, 0.0)
 
     def insert_row(i):
-        # Virtual column 0 carries the row being inserted; its (fresh)
-        # row potential u[i] = 0 rides in w[0].
+        # Virtual column 0 carries the row being inserted; its row
+        # potential u[i] = rowmin[i] (set by the pre-pass) rides in
+        # w[0].
+        u_i = jnp.min(
+            jnp.where(lane_real, cost_ref[0, pl.ds(i, 1), :], _INF)
+        )
         ps_s[...] = jnp.where(lanes == 0, i, ps_s[...])
-        w_s[...] = jnp.where(lanes == 0, 0.0, w_s[...])
+        w_s[...] = jnp.where(lanes == 0, u_i, w_s[...])
         minv_s[...] = jnp.full((1, _LANES), _INF, jnp.float32)
         way_s[...] = jnp.zeros((1, _LANES), jnp.int32)
         used_s[...] = jnp.zeros((1, _LANES), jnp.int32)
@@ -161,7 +195,14 @@ def _lap_kernel(
         lax.while_loop(lambda j: j != 0, aug_body, j0)
 
     def rows_body(i):
-        insert_row(i)
+        # Rows matched by the pre-pass (or an earlier augmentation
+        # re-route — matched rows never become unmatched) are skipped.
+        already = jnp.max(jnp.where(ps_s[...] == i, 1, 0)) > 0
+
+        @pl.when(jnp.logical_not(already))
+        def _():
+            insert_row(i)
+
         return i + 1
 
     lax.while_loop(lambda i: i <= n_real, rows_body, jnp.int32(1))
