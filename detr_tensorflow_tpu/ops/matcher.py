@@ -29,7 +29,11 @@ from . import boxes
 
 Array = jnp.ndarray
 
-_INF = jnp.float32(1e9)
+# Python float, NOT jnp.float32(...): a jnp scalar here would run a jit
+# at import time and initialize the XLA backend, breaking multi-host
+# startup (jax.distributed.initialize must precede any backend use —
+# parallel/multihost.py).
+_INF = 1e9
 
 
 def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
