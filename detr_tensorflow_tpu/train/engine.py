@@ -329,6 +329,9 @@ def fit(trainer: Trainer, train_dataset, config, epoch_nb: int, class_names=None
 
 def _fit_inner(trainer, train_dataset, config, epoch_nb, log_fn, log_every,
                checkpoint_every, guard):
+    # Multi-host: every process steps and checkpoints (Orbax coordinates
+    # internally), but only the primary prints (parallel/multihost.py).
+    primary = jax.process_index() == 0
     t0 = time.time()
     for epoch_step, batch in enumerate(trainer.prefetch(train_dataset)):
         log = trainer.step(batch)
@@ -337,10 +340,12 @@ def _fit_inner(trainer, train_dataset, config, epoch_nb, log_fn, log_every,
                 from .checkpoint import save_checkpoint
 
                 save_checkpoint(trainer.state, config.checkpoint_dir)
-                print(
-                    f"Preemption signal received: checkpoint saved at step "
-                    f"{int(trainer.state.step)}; stopping epoch {epoch_nb}."
-                )
+                if primary:
+                    print(
+                        f"Preemption signal received: checkpoint saved at "
+                        f"step {int(trainer.state.step)}; stopping epoch "
+                        f"{epoch_nb}."
+                    )
             return False
         if (
             checkpoint_every
@@ -361,12 +366,14 @@ def _fit_inner(trainer, train_dataset, config, epoch_nb, log_fn, log_every,
                     int(trainer.state.step),
                 )
             elapsed = time.time() - t0
-            print(
-                f"Epoch: [{epoch_nb}], \t Step: [{epoch_step}], \t "
-                f"ce: [{float(log['label_cost']):.2f}] \t "
-                f"giou: [{float(log['giou_loss']):.2f}] \t "
-                f"l1: [{float(log['l1_loss']):.2f}] \t time: [{elapsed:.2f}]"
-            )
+            if primary:
+                print(
+                    f"Epoch: [{epoch_nb}], \t Step: [{epoch_step}], \t "
+                    f"ce: [{float(log['label_cost']):.2f}] \t "
+                    f"giou: [{float(log['giou_loss']):.2f}] \t "
+                    f"l1: [{float(log['l1_loss']):.2f}] \t "
+                    f"time: [{elapsed:.2f}]"
+                )
             t0 = time.time()
     return True
 
@@ -377,6 +384,7 @@ def eval_loop(trainer: Trainer, valid_dataset, config, class_names=None,
     ``visual_log`` (and wandb available), accumulates per-batch mAP and
     box-overlay images exactly like the reference's ``valid_log``
     (logger/training_logging.py:99-106)."""
+    primary = jax.process_index() == 0
     logs = []
     for val_step, batch in enumerate(valid_dataset):
         outputs, log = trainer.evaluate(batch)
@@ -387,7 +395,7 @@ def eval_loop(trainer: Trainer, valid_dataset, config, class_names=None,
                        int(trainer.state.step), class_names,
                        evaluation_step=evaluation_step)
         logs.append(jax.device_get(log))
-        if val_step % 10 == 0:
+        if val_step % 10 == 0 and primary:
             print(
                 f"Validation step: [{val_step}], \t "
                 f"ce: [{float(log['label_cost']):.2f}] \t "
