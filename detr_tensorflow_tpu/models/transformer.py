@@ -326,5 +326,6 @@ class Transformer(nn.Module):
             n_micro=n_micro, stage_axis=spec.stage_axis,
             data_axis=spec.data_axis,
             tp_axis=getattr(spec, "tp_axis", None),
+            remat_stage=getattr(spec, "remat_stage", False),
         )
         return out["src"]

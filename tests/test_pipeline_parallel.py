@@ -82,6 +82,33 @@ class TestPipelineForward:
             g_seq, g_pp,
         )
 
+    def test_remat_stage_grads_identical(self, rng):
+        """remat_stage=True recomputes stage activations in backward;
+        gradients must be identical to the non-remat pipeline."""
+        mesh = make_mesh(4, axis_names=("stage",))
+        params = _toy_params(rng, 4, 8)
+        stacked = stack_stage_params(params)
+        x = jnp.asarray(rng.normal(size=(4, 3, 8)).astype(np.float32))
+
+        def loss(remat):
+            def f(ps, x):
+                return (
+                    pipeline_forward(
+                        _toy_stage, ps, x, mesh, n_micro=4,
+                        remat_stage=remat,
+                    ) ** 2
+                ).sum()
+            return f
+
+        g_plain = jax.jit(jax.grad(loss(False)))(stacked, x)
+        g_remat = jax.jit(jax.grad(loss(True)))(stacked, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            g_plain, g_remat,
+        )
+
     def test_dp_pp_composition(self, rng):
         """2-way data x 4-way stage on one mesh: batch shards over
         'data', stages rotate over 'stage', output matches sequential."""
