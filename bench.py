@@ -173,7 +173,7 @@ def bench_train(on_tpu: bool):
     trainer = Trainer(model, variables, config)
 
     rng = np.random.default_rng(0)
-    n_t = 16
+    n_t = 16 if on_tpu else 8  # target slots must fit the query budget
     batch_data = {
         "images": np.asarray(
             rng.normal(size=(batch, height, width, 3)), np.float32
@@ -217,12 +217,31 @@ def main():
     on_tpu = any(d.platform != "cpu" for d in jax.devices())
     print(f"bench: devices={jax.devices()}", file=sys.stderr)
 
+    def timed_health():
+        """relay_health with a bound: None = stalled past 120 s."""
+        import threading
+
+        out = []
+        t = threading.Thread(target=lambda: out.append(relay_health()),
+                             daemon=True)
+        t.start()
+        t.join(timeout=120)
+        return round(out[0] * 1e3, 2) if out else None
+
+    health_before = timed_health() if on_tpu else None
+    if on_tpu:
+        print(f"bench: relay_health_ms={health_before} (healthy ~1-10; "
+              "None/large = relay stall episode, throughput numbers below "
+              "are depressed by relay state, not code — "
+              "docs/performance.md 'Cold start')", file=sys.stderr)
+
     infer_ips = bench_inference(on_tpu)
     try:
         train_ips = bench_train(on_tpu)
     except Exception as e:  # train bench must not sink the headline metric
         print(f"bench[train]: failed ({type(e).__name__}: {e})", file=sys.stderr)
         train_ips = None
+    health_after = timed_health() if on_tpu else None
 
     result = {
         "metric": "DETR-R50 inference images/sec/chip @ 1333x800 (bf16, batch 32)",
@@ -234,6 +253,7 @@ def main():
                 round(train_ips, 2) if train_ips is not None else None
             ),
             "train_workload": "batch 8 @ 376x672, full step (fwd+match+loss+bwd+3-group Adam)",
+            "relay_health_ms_before_after": [health_before, health_after],
         },
     }
     print(json.dumps(result))
