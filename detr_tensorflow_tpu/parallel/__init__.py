@@ -15,7 +15,9 @@ from . import multihost  # noqa: F401
 from .pp import (  # noqa: F401
     PipelineSpec,
     pipeline_forward,
+    pipeline_train_1f1b,
     pipeline_transformer_encoder,
+    scan_layers,
     split_layers_into_stages,
     stack_stage_params,
 )

@@ -184,6 +184,179 @@ def pipeline_forward(
     )
 
 
+def pipeline_train_1f1b(
+    stage_fn: Callable[[Pytree, Pytree], Pytree],
+    loss_fn: Callable[[Pytree, Pytree], jnp.ndarray],
+    stage_params: Pytree,  # leading dim = n_stages on every leaf
+    x: Pytree,             # (B, ...) leaves — first-stage input
+    targets: Pytree,       # (B, ...) leaves — consumed by loss_fn
+    mesh: Mesh,
+    *,
+    n_micro: int,
+    stage_axis: str = "stage",
+    data_axis: str = None,
+) -> tuple[jnp.ndarray, Pytree, Pytree]:
+    """One-forward-one-backward (1F1B) pipelined **training step**.
+
+    GPipe (``pipeline_forward`` + AD) runs all T microbatch forwards,
+    then all T backwards: every stage holds O(T) live residuals. 1F1B
+    starts each microbatch's backward as soon as the last stage has its
+    loss, so live state is bounded by pipeline *depth*, not microbatch
+    count. AD cannot produce that schedule from a forward-only program —
+    the loss must live inside the pipelined timeline — so this is an
+    explicit-VJP training primitive rather than a forward to wrap in
+    ``jax.grad``:
+
+    * step ``n``, stage ``s`` runs the **forward** of microbatch
+      ``n - s`` (the GPipe wavefront) *and* the **backward** of
+      microbatch ``n - (2S - 2 - s)`` (the reflected wavefront);
+    * the last stage computes ``loss_fn`` and its cotangent in the same
+      step as the microbatch's forward, seeding the backward wave;
+    * cotangents ride the reverse ``ppermute``; each stage accumulates
+      its own parameter grads locally (they come back sharded over
+      ``stage_axis``, exactly the ``stage_params`` layout);
+    * stage inputs are saved in a ring buffer of ``2S`` slots and the
+      stage is re-linearized at backward time (``jax.vjp`` recompute —
+      the rematerialization 1F1B implementations pair with the
+      schedule). In-flight microbatches at stage s are
+      ``2(S-1-s) ≤ 2S-2 < 2S``, so a slot is never clobbered live —
+      **memory is O(S), independent of T** (GPipe: O(T)).
+
+    ``loss_fn(y_mb, tgt_mb) -> scalar`` must be a *sum*-style loss
+    (total = Σ over microbatches); normalize outside. Returns
+    ``(total_loss, stage_grads, dx)`` where ``stage_grads`` matches
+    ``stage_params`` and ``dx`` is the cotangent w.r.t. ``x`` (so the
+    pipelined block can sit mid-model: feed ``dx`` to the upstream
+    backward). Pair with ``split_layers_into_stages`` /
+    ``scan_layers`` like the GPipe path. DP composes via ``data_axis``
+    (grads all-reduced over it, like any DP program).
+    """
+    n_stages = mesh.shape[stage_axis]
+    S, T = n_stages, n_micro
+    K = 2 * S  # ring-buffer slots; in-flight ≤ 2S-2 (see docstring)
+    N = T + 2 * S - 2  # scan steps: fill + stream + reflected drain
+    leaves = jax.tree.leaves(x)
+    b = leaves[0].shape[0]
+    assert b % T == 0, (b, T)
+    mb = b // T
+
+    def microbatch(tree, pad):
+        out = jax.tree.map(
+            lambda a: a.reshape(T, mb, *a.shape[1:]), tree
+        )
+        if pad:
+            # Schedule-aligned: entry n is consumed at step n (stage 0
+            # input) or step n (last-stage target, which sees microbatch
+            # n - (S-1) — so targets get S-1 leading dummy entries).
+            lead, tail = pad
+            out = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [jnp.zeros((lead,) + a.shape[1:], a.dtype), a,
+                     jnp.zeros((tail,) + a.shape[1:], a.dtype)], axis=0
+                ),
+                out,
+            )
+        return out
+    xs_sched = microbatch(x, (0, N - T))          # stage-0 feed at step n
+    tgt_sched = microbatch(targets, (S - 1, N - T - (S - 1)))
+
+    def per_stage(params, xs_sched, tgt_sched):
+        p = jax.tree.map(lambda a: a[0], params)  # this stage's params
+        s_idx = jax.lax.axis_index(stage_axis)
+        is_last = s_idx == S - 1
+        fwd_perm = [(i, i + 1) for i in range(S - 1)]
+        bwd_perm = [(i, i - 1) for i in range(1, S)]
+
+        zero_act = jax.tree.map(
+            lambda a: jnp.zeros(a.shape[1:], a.dtype), xs_sched
+        )
+        # Ring buffer: garbage writes (inactive steps) always land in
+        # slots whose real write is still in the future, or whose read
+        # already happened — proven by the slot arithmetic above.
+        buf0 = jax.tree.map(
+            lambda a: jnp.zeros((K,) + a.shape, a.dtype), zero_act
+        )
+        gp0 = jax.tree.map(jnp.zeros_like, p)
+
+        def step(carry, inputs):
+            fwd_prev, bwd_prev, buf, gp, loss_sum = carry
+            x_t, tgt_t, n = inputs
+
+            # ---- forward wave: microbatch t_f = n - s ----
+            recv_f = jax.lax.ppermute(fwd_prev, stage_axis, fwd_perm)
+            t_f = n - s_idx
+            inp = jax.tree.map(
+                lambda a, r: jnp.where(s_idx == 0, a, r), x_t, recv_f
+            )
+            out = stage_fn(p, inp)
+            slot_f = jnp.mod(t_f, K)
+            buf = jax.tree.map(
+                lambda bu, v: jax.lax.dynamic_update_index_in_dim(
+                    bu, v, slot_f, 0),
+                buf, inp,
+            )
+
+            # Last stage: loss + cotangent for this step's microbatch
+            # (its backward is scheduled THIS step: t_b == t_f there).
+            active_f = (t_f >= 0) & (t_f < T)
+            l_t, loss_vjp = jax.vjp(lambda y: loss_fn(y, tgt_t), out)
+            (g_y,) = loss_vjp(jnp.ones_like(l_t))
+            loss_sum = loss_sum + jnp.where(is_last & active_f, l_t, 0.0)
+
+            # ---- backward wave: microbatch t_b = n - (2S - 2 - s) ----
+            recv_b = jax.lax.ppermute(bwd_prev, stage_axis, bwd_perm)
+            t_b = n - (2 * S - 2 - s_idx)
+            active_b = (t_b >= 0) & (t_b < T)
+            slot_b = jnp.mod(t_b, K)
+            x_saved = jax.tree.map(
+                lambda bu: jax.lax.dynamic_index_in_dim(
+                    bu, slot_b, 0, keepdims=False),
+                buf,
+            )
+            ct = jax.tree.map(
+                lambda gl, r: jnp.where(is_last, gl, r), g_y, recv_b
+            )
+            _, stage_vjp = jax.vjp(stage_fn, p, x_saved)
+            gp_t, gx_t = stage_vjp(ct)
+            gp = jax.tree.map(
+                lambda acc, g: acc + jnp.where(active_b, g, 0), gp, gp_t
+            )
+            # dx leaves the pipeline at stage 0; replicate via psum.
+            dx_t = jax.tree.map(
+                lambda g: jax.lax.psum(
+                    jnp.where((s_idx == 0) & active_b, g, 0), stage_axis
+                ),
+                gx_t,
+            )
+            return (out, gx_t, buf, gp, loss_sum), dx_t
+
+        carry0 = (zero_act, zero_act, buf0, gp0, jnp.zeros(()))
+        (_, _, _, gp, loss_sum), dxs = jax.lax.scan(
+            step, carry0,
+            (xs_sched, tgt_sched, jnp.arange(N)),
+        )
+        loss = jax.lax.psum(loss_sum, stage_axis)  # only last stage ≠ 0
+        if data_axis:
+            loss = jax.lax.psum(loss, data_axis)
+            gp = jax.tree.map(
+                lambda g: jax.lax.psum(g, data_axis), gp
+            )
+        # Stage 0's dx for microbatch t is emitted at step t + 2S - 2.
+        dx = jax.tree.map(lambda a: a[2 * S - 2:], dxs)
+        return loss, jax.tree.map(lambda g: g[None], gp), dx
+
+    spec_x = P(None, data_axis) if data_axis else P()
+    loss, grads, dx = shard_map(
+        per_stage,
+        mesh=mesh,
+        in_specs=(P(stage_axis), spec_x, spec_x),
+        out_specs=(P(), P(stage_axis), spec_x),
+        check_vma=False,
+    )(stage_params, xs_sched, tgt_sched)
+    dx = jax.tree.map(lambda a: a.reshape(b, *a.shape[2:]), dx)
+    return loss, grads, dx
+
+
 def split_layers_into_stages(
     layer_params: Sequence[Pytree], n_stages: int
 ) -> Pytree:
