@@ -11,7 +11,7 @@ from .mesh import (  # noqa: F401
     replicate,
 )
 from .tp import detr_param_shardings, shard_params  # noqa: F401
-from . import multihost  # noqa: F401
+from . import elastic, multihost  # noqa: F401
 from .pp import (  # noqa: F401
     PipelineSpec,
     pipeline_forward,
