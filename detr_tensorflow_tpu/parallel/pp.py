@@ -195,7 +195,8 @@ def pipeline_train_1f1b(
     n_micro: int,
     stage_axis: str = "stage",
     data_axis: str = None,
-) -> tuple[jnp.ndarray, Pytree, Pytree]:
+    loss_params: Pytree = None,
+) -> tuple:
     """One-forward-one-backward (1F1B) pipelined **training step**.
 
     GPipe (``pipeline_forward`` + AD) runs all T microbatch forwards,
@@ -230,6 +231,14 @@ def pipeline_train_1f1b(
     backward). Pair with ``split_layers_into_stages`` /
     ``scan_layers`` like the GPipe path. DP composes via ``data_axis``
     (grads all-reduced over it, like any DP program).
+
+    ``loss_params``: trainable parameters of the post-pipeline part of
+    the model — for a staged encoder-style model the last stage's
+    ``loss_fn(loss_params, y_mb, tgt_mb)`` is "decoder + heads + set
+    loss" applied per-microbatch, which is exactly what lets the
+    backward wave start before all forwards finish. When given, a
+    fourth output carries their gradient (replicated; accumulated at
+    the last stage, one microbatch at a time).
     """
     n_stages = mesh.shape[stage_axis]
     S, T = n_stages, n_micro
@@ -260,7 +269,7 @@ def pipeline_train_1f1b(
     xs_sched = microbatch(x, (0, N - T))          # stage-0 feed at step n
     tgt_sched = microbatch(targets, (S - 1, N - T - (S - 1)))
 
-    def per_stage(params, xs_sched, tgt_sched):
+    def per_stage(params, lp, xs_sched, tgt_sched):
         p = jax.tree.map(lambda a: a[0], params)  # this stage's params
         s_idx = jax.lax.axis_index(stage_axis)
         is_last = s_idx == S - 1
@@ -277,9 +286,10 @@ def pipeline_train_1f1b(
             lambda a: jnp.zeros((K,) + a.shape, a.dtype), zero_act
         )
         gp0 = jax.tree.map(jnp.zeros_like, p)
+        glp0 = jax.tree.map(jnp.zeros_like, lp)
 
         def step(carry, inputs):
-            fwd_prev, bwd_prev, buf, gp, loss_sum = carry
+            fwd_prev, bwd_prev, buf, gp, glp, loss_sum = carry
             x_t, tgt_t, n = inputs
 
             # ---- forward wave: microbatch t_f = n - s ----
@@ -299,8 +309,18 @@ def pipeline_train_1f1b(
             # Last stage: loss + cotangent for this step's microbatch
             # (its backward is scheduled THIS step: t_b == t_f there).
             active_f = (t_f >= 0) & (t_f < T)
-            l_t, loss_vjp = jax.vjp(lambda y: loss_fn(y, tgt_t), out)
-            (g_y,) = loss_vjp(jnp.ones_like(l_t))
+            if loss_params is None:
+                l_t, loss_vjp = jax.vjp(lambda y: loss_fn(y, tgt_t), out)
+                (g_y,) = loss_vjp(jnp.ones_like(l_t))
+            else:
+                l_t, loss_vjp = jax.vjp(
+                    lambda lpp, y: loss_fn(lpp, y, tgt_t), lp, out)
+                g_lp, g_y = loss_vjp(jnp.ones_like(l_t))
+                glp = jax.tree.map(
+                    lambda acc, g: acc + jnp.where(
+                        is_last & active_f, g, 0),
+                    glp, g_lp,
+                )
             loss_sum = loss_sum + jnp.where(is_last & active_f, l_t, 0.0)
 
             # ---- backward wave: microbatch t_b = n - (2S - 2 - s) ----
@@ -328,33 +348,41 @@ def pipeline_train_1f1b(
                 ),
                 gx_t,
             )
-            return (out, gx_t, buf, gp, loss_sum), dx_t
+            return (out, gx_t, buf, gp, glp, loss_sum), dx_t
 
-        carry0 = (zero_act, zero_act, buf0, gp0, jnp.zeros(()))
-        (_, _, _, gp, loss_sum), dxs = jax.lax.scan(
+        carry0 = (zero_act, zero_act, buf0, gp0, glp0, jnp.zeros(()))
+        (_, _, _, gp, glp, loss_sum), dxs = jax.lax.scan(
             step, carry0,
             (xs_sched, tgt_sched, jnp.arange(N)),
         )
         loss = jax.lax.psum(loss_sum, stage_axis)  # only last stage ≠ 0
+        glp = jax.tree.map(
+            lambda g: jax.lax.psum(g, stage_axis), glp
+        )
         if data_axis:
             loss = jax.lax.psum(loss, data_axis)
             gp = jax.tree.map(
                 lambda g: jax.lax.psum(g, data_axis), gp
             )
+            glp = jax.tree.map(
+                lambda g: jax.lax.psum(g, data_axis), glp
+            )
         # Stage 0's dx for microbatch t is emitted at step t + 2S - 2.
         dx = jax.tree.map(lambda a: a[2 * S - 2:], dxs)
-        return loss, jax.tree.map(lambda g: g[None], gp), dx
+        return loss, jax.tree.map(lambda g: g[None], gp), glp, dx
 
     spec_x = P(None, data_axis) if data_axis else P()
-    loss, grads, dx = shard_map(
+    loss, grads, loss_grads, dx = shard_map(
         per_stage,
         mesh=mesh,
-        in_specs=(P(stage_axis), spec_x, spec_x),
-        out_specs=(P(), P(stage_axis), spec_x),
+        in_specs=(P(stage_axis), P(), spec_x, spec_x),
+        out_specs=(P(), P(stage_axis), P(), spec_x),
         check_vma=False,
-    )(stage_params, xs_sched, tgt_sched)
+    )(stage_params, loss_params, xs_sched, tgt_sched)
     dx = jax.tree.map(lambda a: a.reshape(b, *a.shape[2:]), dx)
-    return loss, grads, dx
+    if loss_params is None:
+        return loss, grads, dx
+    return loss, grads, dx, loss_grads
 
 
 def split_layers_into_stages(

@@ -350,6 +350,55 @@ class Test1F1B:
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_seq),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_loss_stage_params(self, rng):
+        """loss_params: the post-pipeline model part (a head here,
+        decoder+heads+loss in a staged DETR) trains per-microbatch at
+        the last stage — its grads must equal the sequential model's."""
+        from detr_tensorflow_tpu.parallel.pp import pipeline_train_1f1b
+
+        mesh = make_mesh(4, axis_names=("stage",))
+        params = _toy_params(rng, 4, 8)
+        stacked = stack_stage_params(params)
+        head = {"w": jnp.asarray(
+            rng.normal(size=(8, 5)).astype(np.float32) * 0.3)}
+        b = 8
+        x = jnp.asarray(rng.normal(size=(b, 3, 8)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(b, 3, 5)).astype(np.float32))
+
+        def head_loss(lp, y, t):
+            return ((y @ lp["w"] - t) ** 2).sum()
+
+        def seq(stacked, head, x):
+            h = x
+            for i in range(4):
+                h = _toy_stage(jax.tree.map(lambda a: a[i], stacked), h)
+            return head_loss(head, h, tgt)
+
+        loss_seq, (g_seq, gh_seq, dx_seq) = jax.value_and_grad(
+            seq, argnums=(0, 1, 2))(stacked, head, x)
+
+        loss, grads, dx, gh = jax.jit(
+            lambda ps, lp, x, tgt: pipeline_train_1f1b(
+                _toy_stage, head_loss, ps, x, tgt, mesh,
+                n_micro=4, loss_params=lp,
+            )
+        )(stacked, head, x, tgt)
+
+        np.testing.assert_allclose(float(loss), float(loss_seq),
+                                   rtol=1e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5),
+            grads, g_seq,
+        )
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5),
+            gh, gh_seq,
+        )
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_seq),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_encoder_stack_1f1b(self, rng):
         """The real EncoderLayer stack trained 1F1B: grads equal the
         sequential stack's (scan_layers inside each stage, vjp
