@@ -450,6 +450,163 @@ class Test1F1B:
             )
 
 
+class TestFullDetr1F1B:
+    def test_full_model_train_step(self, rng):
+        """The COMPLETE DETR trained through the 1F1B schedule: backbone
+        backward chained via dx, encoder layers staged, and
+        decoder + heads + Hungarian set loss riding as loss_params at
+        the last stage. Loss and every gradient (backbone, input_proj,
+        encoder layers, decoder, heads, query_embed, and the position
+        cotangent) must equal jax.grad of the sequential model."""
+        import jax.numpy as jnp
+
+        from detr_tensorflow_tpu.models import DETR
+        from detr_tensorflow_tpu.models.layers import MLP
+        from detr_tensorflow_tpu.models.position import (
+            sine_position_embedding)
+        from detr_tensorflow_tpu.models.resnet import ResNetBackbone
+        from detr_tensorflow_tpu.models.transformer import (
+            DecoderLayer, EncoderLayer)
+        from detr_tensorflow_tpu.ops.losses import detr_loss
+        from detr_tensorflow_tpu.parallel.pp import (
+            pipeline_train_1f1b, scan_layers, split_layers_into_stages)
+        from flax import linen as nn
+
+        D, HEADS, Q, C = 16, 2, 6, 8
+        S, T = 4, 4
+        model = DETR(
+            num_classes=C, num_queries=Q, model_dim=D, num_heads=HEADS,
+            num_encoder_layers=S, num_decoder_layers=1,
+            dim_feedforward=32, backbone_stage_sizes=(1, 1, 1, 1),
+            dropout=0.0,
+        )
+        b = 8
+        images = jnp.asarray(
+            rng.normal(size=(b, 32, 32, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), images[:1])
+        params, frozen = variables["params"], variables["frozen"]
+
+        targets = {
+            "boxes": jnp.asarray(
+                np.clip(rng.uniform(0.2, 0.8, (b, Q, 4)), 0.05, 0.95)
+                .astype(np.float32)),
+            "classes": jnp.ones((b, Q), jnp.int32),
+            "tmask": jnp.asarray(
+                np.tile([True, True, False, False, False, False], (b, 1))),
+        }
+
+        backbone = ResNetBackbone(stage_sizes=(1, 1, 1, 1))
+        proj = nn.Conv(D, (1, 1), name="input_proj")
+        enc_template = EncoderLayer(D, HEADS, 32, 0.0)
+        dec_template = DecoderLayer(D, HEADS, 32, 0.0)
+        norm = nn.LayerNorm(epsilon=1e-5)
+        class_embed = nn.Dense(C)
+        bbox_embed = MLP(D, 4)
+
+        def pre_fn(pre_params, images):
+            """backbone + input_proj + sine positions -> (src, pos)."""
+            feats = backbone.apply(
+                {"params": pre_params["backbone"],
+                 "frozen": frozen["backbone"]}, images)
+            bb, fh, fw, _ = feats.shape
+            valid = jnp.ones((bb, fh, fw), jnp.float32)
+            pos = sine_position_embedding(valid, num_pos_features=D // 2)
+            src = proj.apply(
+                {"params": pre_params["input_proj"]}, feats
+            ).reshape(bb, fh * fw, D)
+            return {"src": src, "pos": pos.reshape(bb, fh * fw, D)}
+
+        def stage_fn_one(p, t):
+            return {**t, "src": enc_template.apply(
+                {"params": p}, t["src"], t["pos"])}
+
+        def post_loss(lp, y, tgt):
+            """decoder + heads + set loss, per microbatch (sum-style)."""
+            memory, pos = y["src"], y["pos"]
+            bb = memory.shape[0]
+            query_pos = jnp.broadcast_to(
+                lp["query_embed"][None], (bb, Q, D))
+            h = dec_template.apply(
+                {"params": lp["decoder_layer_0"]},
+                jnp.zeros_like(query_pos), memory, pos, query_pos,
+                None, False)
+            hs = norm.apply({"params": lp["decoder_norm"]}, h)[None]
+            logits = class_embed.apply({"params": lp["class_embed"]}, hs)
+            boxes = bbox_embed.apply({"params": lp["bbox_embed"]}, hs)
+            out = {
+                "pred_logits": logits[-1], "pred_boxes": boxes[-1],
+                "aux_logits": logits[:-1], "aux_boxes": boxes[:-1],
+            }
+            total, _ = detr_loss(
+                out, tgt["boxes"], tgt["classes"], tgt["tmask"], C - 1)
+            return total
+
+        tr = params["transformer"]
+        enc_params = [tr[f"encoder_layer_{i}"] for i in range(S)]
+        pre_params = {"backbone": params["backbone"],
+                      "input_proj": params["input_proj"]}
+        lp = {
+            "decoder_layer_0": tr["decoder_layer_0"],
+            "decoder_norm": tr["decoder_norm"],
+            "class_embed": params["class_embed"],
+            "bbox_embed": params["bbox_embed"],
+            "query_embed": params["query_embed"],
+        }
+
+        # ---- sequential reference: same decomposition, jax.grad ----
+        def seq_loss(pre_p, enc_ps, lp, images):
+            y = pre_fn(pre_p, images)
+            for p in enc_ps:
+                y = stage_fn_one(p, y)
+            # per-microbatch loss sum — identical formulation to 1F1B
+            # (Hungarian matching is per-image, so only batch-level
+            # normalization differs from one whole-batch call).
+            tot = 0.0
+            mb = b // T
+            for t in range(T):
+                sl = slice(t * mb, (t + 1) * mb)
+                tot = tot + post_loss(
+                    lp, jax.tree.map(lambda a: a[sl], y),
+                    jax.tree.map(lambda a: a[sl], targets))
+            return tot
+
+        loss_seq, (g_pre_seq, g_enc_seq, g_lp_seq) = jax.value_and_grad(
+            seq_loss, argnums=(0, 1, 2))(pre_params, enc_params, lp,
+                                         images)
+
+        # ---- 1F1B: pre-forward via vjp, pipeline, chain dx back ----
+        mesh = make_mesh(S, axis_names=("stage",))
+
+        def full_1f1b(pre_p, enc_stacked, lp, images):
+            y, pre_vjp = jax.vjp(lambda pp_: pre_fn(pp_, images), pre_p)
+            loss, enc_g, dx, lp_g = pipeline_train_1f1b(
+                stage_fn_one, post_loss, enc_stacked, y, targets, mesh,
+                n_micro=T, loss_params=lp)
+            (pre_g,) = pre_vjp(dx)
+            return loss, pre_g, enc_g, lp_g
+
+        loss, pre_g, enc_g, lp_g = jax.jit(full_1f1b)(
+            pre_params, stack_stage_params(enc_params), lp, images)
+
+        np.testing.assert_allclose(float(loss), float(loss_seq),
+                                   rtol=1e-5)
+
+        def tree_close(a, b_, msg):
+            flat_a = {jax.tree_util.keystr(k): v for k, v in
+                      jax.tree_util.tree_leaves_with_path(a)}
+            for k, v in jax.tree_util.tree_leaves_with_path(b_):
+                ks = jax.tree_util.keystr(k)
+                np.testing.assert_allclose(
+                    np.asarray(flat_a[ks]), np.asarray(v),
+                    rtol=5e-4, atol=5e-5, err_msg=f"{msg}{ks}")
+
+        tree_close(pre_g, g_pre_seq, "pre")
+        tree_close(lp_g, g_lp_seq, "lp")
+        for i in range(S):
+            tree_close(jax.tree.map(lambda a: a[i], enc_g),
+                       g_enc_seq[i], f"enc{i}")
+
+
 class TestDetrEncoderPipeline:
     def test_encoder_stack_pipelined(self, rng):
         """The real EncoderLayer (models/transformer.py) pipelined over
