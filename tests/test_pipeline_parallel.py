@@ -399,6 +399,56 @@ class Test1F1B:
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_seq),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_memory_bounded_by_depth(self, rng):
+        """The 1F1B memory claim, checked against XLA's own accounting
+        (compiled.memory_analysis): as n_micro grows at fixed microbatch
+        size, GPipe+AD temp memory grows with the stored activations of
+        every in-flight microbatch, while 1F1B's growth is ONLY the
+        unavoidable input/target/dx data bytes — its live schedule
+        state (the 2S-slot ring buffer) does not scale with T."""
+        from detr_tensorflow_tpu.parallel.pp import (
+            pipeline_forward, pipeline_train_1f1b)
+
+        mesh = make_mesh(4, axis_names=("stage",))
+        D, L = 64, 16  # 4 layers per stage
+        layers = _toy_params(rng, L, D)
+        staged = split_layers_into_stages(layers, 4)
+        stage = scan_layers(_toy_stage)
+
+        def sq_loss(y, t):
+            return ((y - t) ** 2).sum()
+
+        def temp_bytes(T):
+            b = T * 2  # fixed microbatch size 2
+            x = jnp.zeros((b, 8, D), jnp.float32)
+            tgt = jnp.zeros((b, 8, D), jnp.float32)
+
+            def gpipe_grad(ps, x, tgt):
+                return jax.grad(lambda ps: sq_loss(
+                    pipeline_forward(stage, ps, x, mesh, n_micro=T), tgt
+                ))(ps)
+
+            def f1b(ps, x, tgt):
+                return pipeline_train_1f1b(
+                    stage, sq_loss, ps, x, tgt, mesh, n_micro=T)
+
+            mg = jax.jit(gpipe_grad).lower(staged, x, tgt).compile() \
+                .memory_analysis().temp_size_in_bytes
+            mf = jax.jit(f1b).lower(staged, x, tgt).compile() \
+                .memory_analysis().temp_size_in_bytes
+            return mg, mf
+
+        g16, f16 = temp_bytes(16)
+        g64, f64 = temp_bytes(64)
+        gpipe_slope = (g64 - g16) / 48  # bytes per extra microbatch
+        f1b_slope = (f64 - f16) / 48
+        # The data floor: one microbatch of x + tgt + dx, f32 (2,8,64).
+        data_floor = 3 * 2 * 8 * D * 4
+        assert f1b_slope <= data_floor * 1.25, (f1b_slope, data_floor)
+        # GPipe additionally stores per-layer activations for every
+        # in-flight microbatch: materially steeper.
+        assert gpipe_slope >= 3 * f1b_slope, (gpipe_slope, f1b_slope)
+
     def test_encoder_stack_1f1b(self, rng):
         """The real EncoderLayer stack trained 1F1B: grads equal the
         sequential stack's (scan_layers inside each stage, vjp
