@@ -77,6 +77,7 @@ def mask_losses(
     t_masks: Array,  # (B, T, Ht, Wt) binary target masks
     t_of_p: Array,  # (B, Q) matched target slot per query (or -1)
     matched: Array,  # (B, Q) bool
+    n_matched: Array = None,  # external normalizer (microbatched callers)
 ) -> Dict[str, Array]:
     """Focal + dice losses over matched (query, target-mask) pairs.
 
@@ -96,7 +97,9 @@ def mask_losses(
         t_masks, safe_idx[..., None, None], axis=1
     )  # (B, Q, Hm, Wm)
 
-    n_matched = jnp.maximum(jnp.sum(matched), 1)
+    if n_matched is None:
+        n_matched = jnp.sum(matched)
+    n_matched = jnp.maximum(n_matched, 1)
     w = matched.astype(jnp.float32)  # (B, Q)
 
     focal = sigmoid_focal_loss(p_masks, gathered).mean(axis=(-2, -1))  # (B, Q)
@@ -112,6 +115,30 @@ def mask_losses(
     return {"mask_loss": mask_loss, "dice_loss": dice_loss}
 
 
+def global_loss_normalizers(
+    t_mask: Array, num_queries: int, eos_weight: float = 0.1
+) -> Dict[str, Array]:
+    """Batch-global loss normalizers, computed from the targets alone.
+
+    The Hungarian matching always matches every valid target (queries
+    outnumber targets), so ``n_matched == sum(t_mask)`` is known before
+    any matching runs. A caller that scores the batch in pieces — the
+    1F1B pipeline (parallel/pp.py), or gradient accumulation that must
+    be bitwise-faithful to the big batch — computes these over the FULL
+    batch and passes them as ``norm=`` to ``detr_loss`` /
+    ``single_layer_loss`` on each piece: every term becomes
+    sum(term)/global_denominator, so the sum over pieces equals the
+    whole-batch loss exactly.
+    """
+    n = jnp.sum(t_mask)
+    bq = t_mask.shape[0] * num_queries
+    return {
+        "n_matched": n,
+        "n_unmatched": bq - n,
+        "sum_weights": n + eos_weight * (bq - n),
+    }
+
+
 def single_layer_loss(
     p_logits: Array,
     p_boxes: Array,
@@ -124,6 +151,7 @@ def single_layer_loss(
     t_masks: Array = None,
     match: Dict[str, Array] = None,
     lap_impl: str = "xla",
+    norm: Dict[str, Array] = None,
 ) -> Dict[str, Array]:
     """Set loss for one decoder layer over a batch.
 
@@ -139,6 +167,13 @@ def single_layer_loss(
         decoder layer into one solver call and passes the slices in.
       lap_impl: LAP solver used when ``match`` is None (see
         ``ops.matcher.solve_lap_masked_batch``).
+      norm: optional external loss normalizers
+        (``global_loss_normalizers``) replacing the batch-local sums —
+        how a microbatched caller (1F1B pipeline, gradient
+        accumulation with exactness requirements) reproduces the
+        batch-GLOBAL normalization of the reference loss: each
+        microbatch contributes sum(term)/global_denominator, so the
+        sum over microbatches equals the whole-batch loss exactly.
 
     Returns dict of scalars: label_cost, giou_loss, l1_loss, true_neg,
     true_pos, pos_accuracy (names match reference loss.py:166-173).
@@ -160,11 +195,21 @@ def single_layer_loss(
     targets = jnp.where(matched, gathered_class, background_class)
     ce = _softmax_ce(p_logits, targets)  # (B, Q)
     weights = jnp.where(matched, 1.0, eos_weight)
-    label_cost = jnp.sum(ce * weights) / jnp.sum(weights)
+    sum_weights = (
+        norm["sum_weights"] if norm is not None else jnp.sum(weights)
+    )
+    label_cost = jnp.sum(ce * weights) / sum_weights
 
     pred_cls = jnp.argmax(p_logits, axis=-1)  # (B, Q)
-    n_matched = jnp.maximum(jnp.sum(matched), 1)
-    n_unmatched = jnp.maximum(jnp.sum(~matched), 1)
+    n_matched = (
+        jnp.maximum(norm["n_matched"], 1) if norm is not None
+        else jnp.maximum(jnp.sum(matched), 1)
+    )
+    n_unmatched = (
+        jnp.maximum(norm["n_unmatched"], 1)
+        if norm is not None and "n_unmatched" in norm
+        else jnp.maximum(jnp.sum(~matched), 1)
+    )
     true_neg = jnp.sum((pred_cls == background_class) & ~matched) / n_unmatched
     true_pos = jnp.sum((pred_cls != background_class) & matched) / n_matched
     pos_accuracy = jnp.sum((pred_cls == targets) & matched) / n_matched
@@ -187,7 +232,10 @@ def single_layer_loss(
         "pos_accuracy": pos_accuracy,
     }
     if p_masks is not None and t_masks is not None:
-        out.update(mask_losses(p_masks, t_masks, t_of_p, matched))
+        out.update(mask_losses(
+            p_masks, t_masks, t_of_p, matched,
+            n_matched=norm["n_matched"] if norm is not None else None,
+        ))
     return out
 
 
@@ -210,6 +258,7 @@ def detr_loss(
     background_class: int,
     t_masks: Array = None,
     lap_impl: str = "xla",
+    norm: Dict[str, Array] = None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Full DETR training loss: final layer + auxiliary decoder layers.
 
@@ -222,6 +271,12 @@ def detr_loss(
         matching covers every layer).
       t_bbox / t_class / t_mask: padded targets as in single_layer_loss.
       background_class: id of the "no object" class.
+      norm: optional ``global_loss_normalizers`` result — microbatched
+        callers (the 1F1B pipeline) pass the GLOBAL batch's normalizers
+        so the sum of per-microbatch losses equals the whole-batch loss
+        exactly. The same normalizers apply to every decoder layer:
+        the Hungarian matching matches every valid target in every
+        layer, so n_matched is layer-independent.
 
     Returns (total_loss, log) where log carries the reference's key
     naming: plain names for the final layer, ``_i`` suffix per aux layer
@@ -258,12 +313,14 @@ def detr_loss(
         t_masks=t_masks,
         match=match_final,
         lap_impl=lap_impl,
+        norm=norm,
     )
 
     if has_aux:
         aux_fn = jax.vmap(
             lambda lg, bx, m: single_layer_loss(
-                lg, bx, t_bbox, t_class, t_mask, background_class, match=m
+                lg, bx, t_bbox, t_class, t_mask, background_class, match=m,
+                norm=norm,
             )
         )
         aux_match = {k: v[1:] for k, v in match_all.items()}

@@ -152,6 +152,46 @@ def test_detr_loss_with_aux(rng):
     np.testing.assert_allclose(float(total), expected, rtol=1e-5)
 
 
+def test_microbatched_loss_with_global_norm_equals_whole_batch(rng):
+    """global_loss_normalizers: scoring the batch in microbatches with
+    the global normalizers sums to the whole-batch detr_loss exactly —
+    the contract the 1F1B pipeline (and bitwise-exact gradient
+    accumulation) relies on."""
+    B, Q = 4, 100
+    p_logits, p_boxes, t_bbox, t_class, t_mask, _ = _instance(rng, B=B)
+    aux_logits = np.stack([p_logits * 0.7])
+    aux_boxes = np.stack([np.clip(p_boxes * 1.1, 0.0, 1.0)])
+
+    def outputs(sl):
+        return {
+            "pred_logits": jnp.asarray(p_logits[sl]),
+            "pred_boxes": jnp.asarray(p_boxes[sl]),
+            "aux_logits": jnp.asarray(aux_logits[:, sl]),
+            "aux_boxes": jnp.asarray(aux_boxes[:, sl]),
+        }
+
+    total_full, _ = losses.detr_loss(
+        outputs(slice(None)), jnp.asarray(t_bbox), jnp.asarray(t_class),
+        jnp.asarray(t_mask), BACKGROUND,
+    )
+
+    norm = losses.global_loss_normalizers(jnp.asarray(t_mask), Q)
+    np.testing.assert_array_equal(
+        int(norm["n_matched"]), int(t_mask.sum()))
+
+    total_mb = 0.0
+    for i in range(B):
+        sl = slice(i, i + 1)
+        t, _ = losses.detr_loss(
+            outputs(sl), jnp.asarray(t_bbox[sl]), jnp.asarray(t_class[sl]),
+            jnp.asarray(t_mask[sl]), BACKGROUND, norm=norm,
+        )
+        total_mb += float(t)
+    # Loss terms sum exactly; metric terms (true_neg/true_pos/...) are
+    # not in the total. fp32 summation order differs -> tiny rtol.
+    np.testing.assert_allclose(total_mb, float(total_full), rtol=2e-5)
+
+
 def test_pack_unpack_roundtrip(rng):
     from detr_tensorflow_tpu.data import processing
 

@@ -570,8 +570,15 @@ class TestFullDetr1F1B:
             return {**t, "src": enc_template.apply(
                 {"params": p}, t["src"], t["pos"])}
 
+        # Batch-GLOBAL normalizers, known upfront from the targets: each
+        # microbatch's loss becomes sum(term)/global_denominator, so the
+        # schedule's sum over microbatches equals the standard
+        # whole-batch detr_loss exactly (ops/losses.py).
+        from detr_tensorflow_tpu.ops.losses import global_loss_normalizers
+        gnorm = global_loss_normalizers(targets["tmask"], Q)
+
         def post_loss(lp, y, tgt):
-            """decoder + heads + set loss, per microbatch (sum-style)."""
+            """decoder + heads + set loss, per microbatch."""
             memory, pos = y["src"], y["pos"]
             bb = memory.shape[0]
             query_pos = jnp.broadcast_to(
@@ -588,7 +595,8 @@ class TestFullDetr1F1B:
                 "aux_logits": logits[:-1], "aux_boxes": boxes[:-1],
             }
             total, _ = detr_loss(
-                out, tgt["boxes"], tgt["classes"], tgt["tmask"], C - 1)
+                out, tgt["boxes"], tgt["classes"], tgt["tmask"], C - 1,
+                norm=gnorm)
             return total
 
         tr = params["transformer"]
@@ -603,22 +611,14 @@ class TestFullDetr1F1B:
             "query_embed": params["query_embed"],
         }
 
-        # ---- sequential reference: same decomposition, jax.grad ----
+        # ---- sequential reference: the STANDARD whole-batch loss ----
+        # (thanks to the global normalizers, the microbatched schedule
+        # must reproduce this exactly, not just a per-microbatch sum).
         def seq_loss(pre_p, enc_ps, lp, images):
             y = pre_fn(pre_p, images)
             for p in enc_ps:
                 y = stage_fn_one(p, y)
-            # per-microbatch loss sum — identical formulation to 1F1B
-            # (Hungarian matching is per-image, so only batch-level
-            # normalization differs from one whole-batch call).
-            tot = 0.0
-            mb = b // T
-            for t in range(T):
-                sl = slice(t * mb, (t + 1) * mb)
-                tot = tot + post_loss(
-                    lp, jax.tree.map(lambda a: a[sl], y),
-                    jax.tree.map(lambda a: a[sl], targets))
-            return tot
+            return post_loss(lp, y, targets)
 
         loss_seq, (g_pre_seq, g_enc_seq, g_lp_seq) = jax.value_and_grad(
             seq_loss, argnums=(0, 1, 2))(pre_params, enc_params, lp,
