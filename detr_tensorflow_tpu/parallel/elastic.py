@@ -148,6 +148,11 @@ class ElasticLauncher:
       cwd: worker working directory.
       poll_interval: liveness poll period, seconds.
       grace: seconds between SIGTERM and SIGKILL at teardown.
+      generation_timeout: optional wall-clock budget per generation —
+        a worker that hangs (e.g. wedged in a dead collective the
+        launcher cannot observe) is as lost as a dead one; on expiry
+        the still-running ranks are marked failed and the generation
+        relaunches without them.
     """
 
     def __init__(
@@ -162,6 +167,7 @@ class ElasticLauncher:
         cwd: Optional[str] = None,
         poll_interval: float = 0.25,
         grace: float = 5.0,
+        generation_timeout: Optional[float] = None,
     ):
         self._argv = worker_argv
         self.n_processes = n_processes
@@ -171,6 +177,7 @@ class ElasticLauncher:
         self.cwd = cwd
         self.poll_interval = poll_interval
         self.grace = grace
+        self.generation_timeout = generation_timeout
 
     def argv_for(self, rank: int, world: int, generation: int):
         if callable(self._argv):
@@ -235,6 +242,10 @@ class ElasticLauncher:
             gen_idx = len(generations)
             procs, logs = self._spawn(world, gen_idx)
             failed_ranks: List[int] = []
+            deadline = (
+                time.monotonic() + self.generation_timeout
+                if self.generation_timeout else None
+            )
             while True:
                 rcs = [p.poll() for p in procs]
                 # Snapshot of failures in THIS poll: the lost hosts.
@@ -246,6 +257,12 @@ class ElasticLauncher:
                 if failed_ranks:
                     break
                 if all(rc == 0 for rc in rcs):
+                    break
+                if deadline is not None and time.monotonic() > deadline:
+                    # Hung workers are lost hosts the poll can't see.
+                    failed_ranks = [
+                        r for r, rc in enumerate(rcs) if rc is None
+                    ]
                     break
                 time.sleep(self.poll_interval)
             if failed_ranks:

@@ -152,6 +152,30 @@ def test_launcher_success_first_generation(tmp_path):
     assert run.generations[0].ok and run.final_world == 2
 
 
+def test_hung_worker_treated_as_lost(tmp_path):
+    """A worker wedged forever (e.g. in a dead collective) is detected
+    by the generation timeout and the survivors relaunch without it."""
+    from detr_tensorflow_tpu.parallel import elastic
+    from detr_tensorflow_tpu.parallel.elastic import ElasticLauncher
+
+    script = tmp_path / "hang_once.py"
+    script.write_text(
+        "import os, time\n"
+        f"if (os.environ['{elastic.ENV_GENERATION}'] == '0'\n"
+        f"        and os.environ['{elastic.ENV_RANK}'] == '1'):\n"
+        "    time.sleep(3600)\n"
+        "print('fine')\n"
+    )
+    run = ElasticLauncher(
+        [sys.executable, str(script)], 2, min_processes=1,
+        max_restarts=1, generation_timeout=20.0, grace=2.0,
+    ).run()
+    assert run.success
+    g0, g1 = run.generations
+    assert g0.failed_ranks == [1] and not g0.ok
+    assert g1.world == 1 and g1.ok
+
+
 def test_launcher_gives_up_after_max_restarts(tmp_path):
     from detr_tensorflow_tpu.parallel.elastic import ElasticLauncher
 
