@@ -176,6 +176,27 @@ def test_hung_worker_treated_as_lost(tmp_path):
     assert g1.world == 1 and g1.ok
 
 
+def test_cli_launcher_smoke(tmp_path):
+    """scripts/elastic_launch.py end to end: exit code and summary."""
+    import subprocess
+
+    script = tmp_path / "ok.py"
+    script.write_text(
+        "import os\n"
+        "print('rank', os.environ['DETR_ELASTIC_RANK'],\n"
+        "      'of', os.environ['DETR_ELASTIC_WORLD'])\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "scripts/elastic_launch.py"),
+         "--nprocs", "2", "--", sys.executable, str(script)],
+        capture_output=True, text=True, env=env, cwd=_REPO, timeout=120,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "SUCCESS" in out.stdout and "world=2" in out.stdout
+
+
 def test_launcher_gives_up_after_max_restarts(tmp_path):
     from detr_tensorflow_tpu.parallel.elastic import ElasticLauncher
 
