@@ -7,14 +7,25 @@ with ``jax.lax.ppermute`` (nearest-neighbour ICI traffic — no host
 involvement, no send/recv framework; cf. the reference, which has no
 parallelism at all, README.md:135 "Multi GPU training comming soon").
 
-Schedule: classic GPipe. The batch splits into ``n_micro``
-microbatches; at step ``t`` stage ``s`` processes microbatch ``t - s``,
-so the pipeline fills for S-1 steps, streams, and drains for S-1 steps
-— bubble fraction (S-1)/(T+S-1). Every stage executes the same traced
-program (`lax.scan` over steps) — there is no per-stage code, which is
-what makes it one XLA program that AD differentiates end-to-end
-(ppermute/scan/psum all have transpose rules, so the same construct
-trains).
+Two schedules:
+
+* **GPipe** (``pipeline_forward``): at step ``t`` stage ``s`` processes
+  microbatch ``t - s``; fill for S-1 steps, stream, drain for S-1 —
+  bubble fraction (S-1)/(T+S-1). Every stage executes the same traced
+  program (`lax.scan` over steps) — one XLA program that AD
+  differentiates end-to-end (ppermute/scan/psum all have transpose
+  rules), which is what makes it a model-level *flag*
+  (``PipelineSpec``) rather than a training-loop rewrite.
+* **1F1B** (``pipeline_train_1f1b``): the interleaved
+  one-forward-one-backward schedule as an explicit-VJP training
+  primitive — loss scored per-microbatch at the last stage, backward
+  waves overlapped with forward waves in the same scan, residuals in
+  an O(S) ring buffer. Live memory is bounded by pipeline depth
+  instead of GPipe+AD's O(n_micro), so ``n_micro`` can grow until the
+  bubble is negligible — which is also why a Megatron-style
+  virtual-stage interleave is unnecessary here: its purpose is
+  shrinking the bubble when memory caps ``n_micro``, and this
+  schedule removes that cap.
 
 Composition: the ``shard_map`` in/out specs carry an optional data axis
 alongside the stage axis, so DP x PP runs as one mesh
@@ -65,8 +76,9 @@ class PipelineSpec:
       remat_stage: rematerialize each stage application in the backward
         pass (``jax.checkpoint``): live activation memory drops from
         every layer of every in-flight microbatch to one stage boundary
-        per microbatch — the memory profile 1F1B schedules chase,
-        bought with ~1/3 more FLOPs instead of schedule complexity.
+        per microbatch — a big constant-factor saving, though still
+        O(n_micro); the true depth-bounded schedule is
+        ``pipeline_train_1f1b``.
     """
 
     mesh: Mesh
