@@ -29,3 +29,4 @@ from . import logger  # noqa: F401
 from . import utils  # noqa: F401
 from . import inference  # noqa: F401
 from .predictor import Predictor, Detection  # noqa: F401
+from .export import export_predictor, load_predictor  # noqa: F401
