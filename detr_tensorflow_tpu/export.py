@@ -43,26 +43,18 @@ _MANIFEST = "manifest.json"
 _WEIGHTS = "weights.npz"
 
 
-def _flatten(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}/{k}" if prefix else str(k)
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = np.asarray(v)
-    return out
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    from flax.traverse_util import flatten_dict
+
+    return {
+        k: np.asarray(v) for k, v in flatten_dict(tree, sep="/").items()
+    }
 
 
 def _unflatten(flat: Dict[str, np.ndarray]):
-    tree: dict = {}
-    for key, v in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(v)
-    return tree
+    from flax.traverse_util import unflatten_dict
+
+    return jax.tree.map(jnp.asarray, unflatten_dict(dict(flat), sep="/"))
 
 
 def _plain(tree):
@@ -177,17 +169,8 @@ class ExportedPredictor(Predictor):
             )
         return self._compiled[key]
 
-    def warmup(self, shapes, batch: int = 1) -> None:
-        for h, w in shapes:
-            d = self.bucket_divisor
-            ph = ((h + d - 1) // d) * d
-            pw = ((w + d - 1) // d) * d
-            program = self._get_program((ph, pw), masked=True)
-            jax.block_until_ready(program(
-                self.model.variables,
-                jnp.zeros((batch, ph, pw, 3), jnp.uint8),
-                jnp.ones((batch, ph, pw), bool),
-            ))
+    # Predictor.warmup is inherited unchanged: it already goes through
+    # the _get_program hook with the masked dummy-call convention.
 
 
 def load_predictor(path: str) -> ExportedPredictor:

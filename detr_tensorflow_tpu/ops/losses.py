@@ -194,22 +194,22 @@ def single_layer_loss(
     # ---- classification (loss.py:37-70) ----
     targets = jnp.where(matched, gathered_class, background_class)
     ce = _softmax_ce(p_logits, targets)  # (B, Q)
+    norm = norm or {}
     weights = jnp.where(matched, 1.0, eos_weight)
-    sum_weights = (
-        norm["sum_weights"] if norm is not None else jnp.sum(weights)
-    )
+    sum_weights = norm.get("sum_weights")
+    if sum_weights is None:
+        sum_weights = jnp.sum(weights)
     label_cost = jnp.sum(ce * weights) / sum_weights
 
     pred_cls = jnp.argmax(p_logits, axis=-1)  # (B, Q)
-    n_matched = (
-        jnp.maximum(norm["n_matched"], 1) if norm is not None
-        else jnp.maximum(jnp.sum(matched), 1)
-    )
-    n_unmatched = (
-        jnp.maximum(norm["n_unmatched"], 1)
-        if norm is not None and "n_unmatched" in norm
-        else jnp.maximum(jnp.sum(~matched), 1)
-    )
+    n_matched = norm.get("n_matched")
+    if n_matched is None:
+        n_matched = jnp.sum(matched)
+    n_matched = jnp.maximum(n_matched, 1)
+    n_unmatched = norm.get("n_unmatched")
+    if n_unmatched is None:
+        n_unmatched = jnp.sum(~matched)
+    n_unmatched = jnp.maximum(n_unmatched, 1)
     true_neg = jnp.sum((pred_cls == background_class) & ~matched) / n_unmatched
     true_pos = jnp.sum((pred_cls != background_class) & matched) / n_matched
     pos_accuracy = jnp.sum((pred_cls == targets) & matched) / n_matched
@@ -234,7 +234,7 @@ def single_layer_loss(
     if p_masks is not None and t_masks is not None:
         out.update(mask_losses(
             p_masks, t_masks, t_of_p, matched,
-            n_matched=norm["n_matched"] if norm is not None else None,
+            n_matched=norm.get("n_matched"),
         ))
     return out
 

@@ -26,16 +26,14 @@ at all — SURVEY.md §5):
   tests/test_engine.py::test_elastic_resume_across_mesh_sizes) makes
   the shrunken resume exact;
 * finish: a generation where every worker exits 0 is success; more
-  than ``max_restarts`` relaunches, or a world below
-  ``min_processes``, is failure.
+  than ``max_restarts`` relaunches, or a world shrinking below
+  ``min_processes``, fails the run.
 
-Cascade failures (survivors crashing on the dead peer's collective
-before the launcher finishes detection) are floored at
-``min_processes``: the relaunch is attempted with the smallest allowed
-world rather than giving up, since on one machine the launcher cannot
-distinguish a truly-lost host from a collective-error cascade. On a
-real pod, replace ``argv_for`` with a callable that targets the hosts
-still reachable — the control loop is identical.
+Cascade containment: only the failures present in the FIRST poll that
+observes any failure count as lost hosts; survivors crashing later on
+the dead peer's collective are part of the teardown, not additional
+losses. On a real pod, replace ``argv_for`` with a callable that
+targets the hosts still reachable — the control loop is identical.
 """
 
 from __future__ import annotations
@@ -141,7 +139,8 @@ class ElasticLauncher:
         callable ``(rank, world, generation) -> argv`` for per-host
         commands (SSH wrappers on a real cluster).
       n_processes: initial world size.
-      min_processes: smallest world worth relaunching at.
+      min_processes: smallest acceptable world — a shrink below this
+        fails the run instead of relaunching.
       max_restarts: relaunch budget across the whole run.
       env: extra environment for workers (merged over ``os.environ``;
         a ``None`` value unsets the variable).
@@ -185,29 +184,39 @@ class ElasticLauncher:
         return list(self._argv)
 
     def _spawn(self, world: int, generation: int):
+        # NB: the port is bound-probed then released (unavoidable race:
+        # the coordinator must bind it itself); a stolen port surfaces
+        # as a failed generation and costs one restart.
         port = _free_port()
         procs, logs = [], []
-        for rank in range(world):
-            env = dict(os.environ)
-            for k, v in self.env.items():
-                if v is None:
-                    env.pop(k, None)
-                else:
-                    env[k] = v
-            env[ENV_COORDINATOR] = f"127.0.0.1:{port}"
-            env[ENV_RANK] = str(rank)
-            env[ENV_WORLD] = str(world)
-            env[ENV_GENERATION] = str(generation)
-            log = tempfile.NamedTemporaryFile(
-                mode="w+", suffix=f".g{generation}.r{rank}.log",
-                delete=False,
-            )
-            procs.append(subprocess.Popen(
-                self.argv_for(rank, world, generation),
-                stdout=log, stderr=subprocess.STDOUT,
-                env=env, cwd=self.cwd,
-            ))
-            logs.append(log)
+        try:
+            for rank in range(world):
+                env = dict(os.environ)
+                for k, v in self.env.items():
+                    if v is None:
+                        env.pop(k, None)
+                    else:
+                        env[k] = v
+                env[ENV_COORDINATOR] = f"127.0.0.1:{port}"
+                env[ENV_RANK] = str(rank)
+                env[ENV_WORLD] = str(world)
+                env[ENV_GENERATION] = str(generation)
+                log = tempfile.NamedTemporaryFile(
+                    mode="w+", suffix=f".g{generation}.r{rank}.log",
+                    delete=False,
+                )
+                logs.append(log)
+                procs.append(subprocess.Popen(
+                    self.argv_for(rank, world, generation),
+                    stdout=log, stderr=subprocess.STDOUT,
+                    env=env, cwd=self.cwd,
+                ))
+        except BaseException:
+            # A failed Popen for rank k must not orphan ranks 0..k-1
+            # (they would wedge in initialize waiting for full world).
+            self._teardown(procs)
+            self._read_logs(logs)
+            raise
         return procs, logs
 
     @staticmethod
@@ -279,6 +288,6 @@ class ElasticLauncher:
             restarts += 1
             if restarts > self.max_restarts:
                 return ElasticRun(success=False, generations=generations)
-            world = max(world - len(failed_ranks), self.min_processes)
+            world = world - len(failed_ranks)
             if world < self.min_processes:
                 return ElasticRun(success=False, generations=generations)

@@ -353,12 +353,11 @@ def pipeline_train_1f1b(
             gp = jax.tree.map(
                 lambda acc, g: acc + jnp.where(active_b, g, 0), gp, gp_t
             )
-            # dx leaves the pipeline at stage 0; replicate via psum.
+            # dx leaves the pipeline at stage 0 — emit masked here, one
+            # psum over the whole stack after the scan (a per-step psum
+            # would cost N collective launches for the same bytes).
             dx_t = jax.tree.map(
-                lambda g: jax.lax.psum(
-                    jnp.where((s_idx == 0) & active_b, g, 0), stage_axis
-                ),
-                gx_t,
+                lambda g: jnp.where((s_idx == 0) & active_b, g, 0), gx_t
             )
             return (out, gx_t, buf, gp, glp, loss_sum), dx_t
 
@@ -379,8 +378,11 @@ def pipeline_train_1f1b(
             glp = jax.tree.map(
                 lambda g: jax.lax.psum(g, data_axis), glp
             )
-        # Stage 0's dx for microbatch t is emitted at step t + 2S - 2.
-        dx = jax.tree.map(lambda a: a[2 * S - 2:], dxs)
+        # Stage 0's dx for microbatch t is emitted at step t + 2S - 2;
+        # replicate across stages with one collective for the stack.
+        dx = jax.tree.map(
+            lambda a: jax.lax.psum(a[2 * S - 2:], stage_axis), dxs
+        )
         return loss, jax.tree.map(lambda g: g[None], gp), glp, dx
 
     spec_x = P(None, data_axis) if data_axis else P()

@@ -29,6 +29,10 @@ def main(argv=None) -> int:
                         help="smallest world worth relaunching at")
     parser.add_argument("--max-restarts", type=int, default=3,
                         help="relaunch budget")
+    parser.add_argument("--generation-timeout", type=float, default=None,
+                        help="seconds before still-running workers are "
+                             "treated as hung (lost) and relaunched "
+                             "without")
     parser.add_argument("worker", nargs=argparse.REMAINDER,
                         help="worker command (prefix with --)")
     args = parser.parse_args(argv)
@@ -43,6 +47,7 @@ def main(argv=None) -> int:
     run = ElasticLauncher(
         worker, args.nprocs,
         min_processes=args.min_procs, max_restarts=args.max_restarts,
+        generation_timeout=args.generation_timeout,
     ).run()
     for g in run.generations:
         status = "ok" if g.ok else f"lost ranks {g.failed_ranks}"

@@ -200,12 +200,36 @@ def test_cli_launcher_smoke(tmp_path):
 def test_launcher_gives_up_after_max_restarts(tmp_path):
     from detr_tensorflow_tpu.parallel.elastic import ElasticLauncher
 
+    # The highest rank dies shortly after start in every generation;
+    # the others would run on (and get torn down).
     script = tmp_path / "bad.py"
-    script.write_text("import sys; sys.exit(3)\n")
+    script.write_text(
+        "import os, sys, time\n"
+        "rank, world = (int(os.environ['DETR_ELASTIC_RANK']),\n"
+        "               int(os.environ['DETR_ELASTIC_WORLD']))\n"
+        "if rank == world - 1:\n"
+        "    time.sleep(0.5); sys.exit(3)\n"
+        "time.sleep(60)\n"
+    )
     run = ElasticLauncher(
         [sys.executable, str(script)], 2, min_processes=1, max_restarts=1,
+        grace=2.0,
     ).run()
     assert not run.success
     # initial + one relaunch
     assert len(run.generations) == 2
     assert run.generations[-1].world == 1  # shrunk before the retry
+
+
+def test_launcher_fails_fast_below_min_processes(tmp_path):
+    """Losing more hosts than min_processes allows fails the run
+    instead of relaunching a world that cannot satisfy the contract."""
+    from detr_tensorflow_tpu.parallel.elastic import ElasticLauncher
+
+    script = tmp_path / "allbad.py"
+    script.write_text("import sys, time; time.sleep(0.3); sys.exit(3)\n")
+    run = ElasticLauncher(
+        [sys.executable, str(script)], 2, min_processes=2, max_restarts=3,
+    ).run()
+    assert not run.success
+    assert len(run.generations) == 1  # no relaunch: 2 - lost < min 2
