@@ -145,14 +145,27 @@ if __name__ == "__main__":
         "--warmup", default="",
         help="comma-separated HxW sizes to precompile, e.g. 480x640,800x1344",
     )
+    parser.add_argument(
+        "--artifact", default="",
+        help="serve from a jax.export artifact directory "
+             "(export_predictor) instead of building the model — no "
+             "model code, no weight conversion at startup",
+    )
     args = parser.parse_args()
 
-    model = get_detr_model(None, include_top=True, weights="detr",
-                           masks=args.masks)
-    predictor = Predictor(
-        model, background_class=91, bucket_divisor=args.bucket_divisor,
-        score_threshold=args.score_threshold, masks=args.masks,
-    )
+    if args.artifact:
+        from detr_tensorflow_tpu.export import load_predictor
+
+        predictor = load_predictor(args.artifact)
+        if args.score_threshold is not None:
+            predictor.score_threshold = args.score_threshold
+    else:
+        model = get_detr_model(None, include_top=True, weights="detr",
+                               masks=args.masks)
+        predictor = Predictor(
+            model, background_class=91, bucket_divisor=args.bucket_divisor,
+            score_threshold=args.score_threshold, masks=args.masks,
+        )
     if args.warmup:
         shapes = [tuple(map(int, s.split("x"))) for s in args.warmup.split(",")]
         predictor.warmup(shapes)

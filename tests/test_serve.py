@@ -54,6 +54,47 @@ def server():
     httpd.shutdown()
 
 
+def test_daemon_over_export_artifact(rng, tmp_path):
+    """serve.py --artifact path: the HTTP daemon runs over a loaded
+    jax.export artifact — no model build — and answers /detect."""
+    import io
+
+    import serve
+    from detr_tensorflow_tpu.export import export_predictor, load_predictor
+
+    model = build_detr(
+        num_classes=5, num_queries=6, head="detr",
+        backbone_stage_sizes=(1, 1, 1, 1), image_size=(64, 64),
+        model_dim=16, num_heads=2, num_encoder_layers=1,
+        num_decoder_layers=1, dim_feedforward=32,
+    )
+    live = Predictor(model, background_class=0, bucket_divisor=64)
+    path = str(tmp_path / "artifact")
+    export_predictor(live, path, shapes=[(60, 90)], platforms=("cpu",))
+
+    service = serve.DetrService(
+        load_predictor(path), ["back", "a", "b", "c", "d"]
+    )
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve.make_handler(service)
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        img = rng.integers(0, 255, size=(60, 90, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)  # raw .npy upload: no cv2 dependency
+        req = urllib.request.Request(
+            f"{url}/detect", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert "detections" in payload
+    finally:
+        httpd.shutdown()
+
+
 def test_healthz(server):
     with urllib.request.urlopen(f"{server}/healthz", timeout=300) as r:
         payload = json.loads(r.read())
