@@ -265,4 +265,23 @@ if __name__ == "__main__":
     except Exception as e:  # transient remote-TPU aborts: one retry
         print(f"bench: first attempt failed ({type(e).__name__}: {e}); "
               "retrying once", file=sys.stderr)
-        main()
+        try:
+            main()
+        except Exception as e2:
+            # Total failure (e.g. a multi-hour relay UNAVAILABLE
+            # episode): still emit the JSON line so the artifact
+            # records WHY there is no number — environment, not code.
+            print(f"bench: retry failed ({type(e2).__name__}: {e2})",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": "DETR-R50 inference images/sec/chip @ 1333x800 (bf16, batch 32)",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "extra": {
+                    "error": f"{type(e2).__name__}: {e2}"[:500],
+                    "note": "TPU relay unavailable for both attempts; "
+                            "see stderr and docs/performance.md 'Cold "
+                            "start' (relay stall episodes)",
+                },
+            }))
