@@ -12,6 +12,7 @@ from .mesh import (  # noqa: F401
 )
 from .tp import detr_param_shardings, shard_params  # noqa: F401
 from . import elastic, multihost  # noqa: F401
+from .detr_1f1b import detr_1f1b_value_and_grad  # noqa: F401
 from .pp import (  # noqa: F401
     PipelineSpec,
     pipeline_forward,

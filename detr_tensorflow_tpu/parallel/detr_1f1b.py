@@ -1,0 +1,202 @@
+"""The 1F1B schedule wired to the real DETR as a usable training path.
+
+``pp.pipeline_train_1f1b`` is the generic primitive;
+``detr_1f1b_value_and_grad`` is its DETR integration: it decomposes the
+model the way the schedule needs —
+
+* **prefix** (backbone + input_proj + sine positions), run once and
+  linearized with ``jax.vjp`` so the pipeline's input cotangent ``dx``
+  drives its backward;
+* **staged encoder**: the ``encoder_layer_{i}`` parameters split into
+  contiguous stages over the mesh's stage axis (identical parameter
+  tree to the sequential model, like the GPipe path);
+* **suffix as the pipelined loss**: decoder stack + heads + Hungarian
+  set loss run per-microbatch at the last stage (``loss_params``),
+  with the batch-global loss normalizers
+  (``ops.losses.global_loss_normalizers``) computed upfront so the
+  microbatched sum equals the standard whole-batch ``detr_loss``
+  exactly.
+
+Returns ``(loss, grads)`` with ``grads`` shaped exactly like
+``variables["params"]`` — plug into any optax optimizer. Equality with
+``jax.value_and_grad`` of the sequential model is asserted in
+tests/test_pipeline_parallel.py (TestFullDetr1F1B covers the wiring;
+test_detr_1f1b_value_and_grad covers this function).
+
+Scope (v1): ``head="detr"``, no pixel mask, no segmentation head, and
+dropout must be 0 (inference-style determinism inside the schedule —
+the GPipe flag path handles dropout; plumb per-stage RNG like
+models/transformer.py does there if needed). Use it when the encoder
+depth is what outgrows HBM: memory is bounded by pipeline depth, so
+``n_micro`` can grow until the bubble is negligible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import detr_loss, global_loss_normalizers
+from .pp import pipeline_train_1f1b, scan_layers, split_layers_into_stages
+
+Pytree = Any
+
+
+def detr_1f1b_value_and_grad(
+    model,
+    variables: Dict[str, Pytree],
+    batch: Dict[str, jnp.ndarray],
+    mesh,
+    *,
+    background_class: int,
+    n_micro: int = None,
+    stage_axis: str = "stage",
+    data_axis: str = None,
+) -> Tuple[jnp.ndarray, Pytree]:
+    """Full-DETR loss + gradients through the 1F1B pipeline schedule.
+
+    Args:
+      model: a ``models.DETR`` instance (``head="detr"``, ``masks=False``,
+        ``dropout=0.0``; its ``pipeline`` field is ignored here).
+      variables: the model's ``{"params", "frozen"}`` tree — the SAME
+        tree the sequential model uses (checkpoints interchange).
+      batch: dict with ``images`` (B,H,W,3), ``boxes`` (B,T,4),
+        ``classes`` (B,T), ``mask`` (B,T) — the Trainer's batch layout.
+      mesh: mesh carrying ``stage_axis`` (and optionally ``data_axis``).
+      background_class: the "no object" class id.
+      n_micro: microbatches (default: 2 × stages, clipped to divide B).
+
+    Returns ``(loss, grads)``; ``grads`` matches ``variables["params"]``.
+    """
+    if model.dropout != 0.0:
+        raise NotImplementedError(
+            "detr_1f1b_value_and_grad requires dropout=0.0 (v1); the "
+            "GPipe path (DETR(pipeline=...)) trains with dropout"
+        )
+    if model.masks or model.head != "detr":
+        raise NotImplementedError(
+            "v1 supports head='detr' without the segmentation head"
+        )
+    from flax import linen as nn
+
+    from ..models.layers import MLP
+    from ..models.position import sine_position_embedding
+    from ..models.resnet import ResNetBackbone
+    from ..models.transformer import DecoderLayer, EncoderLayer
+
+    params, frozen = variables["params"], variables.get("frozen", {})
+    D, heads = model.model_dim, model.num_heads
+    Q, C = model.num_queries, model.num_classes
+    n_enc, n_dec = model.num_encoder_layers, model.num_decoder_layers
+    S = mesh.shape[stage_axis]
+    b = batch["images"].shape[0]
+    if n_micro is None:
+        data = mesh.shape[data_axis] if data_axis else 1
+        n_micro = max(2 * S, 1)
+        while n_micro > 1 and (b % n_micro or (b // n_micro) % data):
+            n_micro //= 2
+
+    stage_sizes = model.backbone_stage_sizes or {
+        50: (3, 4, 6, 3), 101: (3, 4, 23, 3)
+    }[model.backbone_depth]
+    backbone = ResNetBackbone(
+        stage_sizes=stage_sizes,
+        replace_stride_with_dilation=(False, False, model.dilation),
+        dtype=model.dtype,
+    )
+    proj = nn.Conv(D, (1, 1), dtype=model.dtype)
+    enc_template = EncoderLayer(
+        D, heads, model.dim_feedforward, 0.0, model.dtype, model.attn_impl)
+    dec_template = DecoderLayer(
+        D, heads, model.dim_feedforward, 0.0, model.dtype, model.attn_impl)
+    final_norm = nn.LayerNorm(epsilon=1e-5, dtype=model.dtype)
+    class_embed = nn.Dense(C, dtype=model.dtype)
+    bbox_embed = MLP(D, 4, dtype=model.dtype)
+
+    def pre_fn(pre_p, images):
+        feats = backbone.apply(
+            {"params": pre_p["backbone"],
+             "frozen": frozen.get("backbone", {})},
+            images.astype(model.dtype))
+        bb, fh, fw, _ = feats.shape
+        valid = jnp.ones((bb, fh, fw), jnp.float32)
+        pos = sine_position_embedding(
+            valid, num_pos_features=D // 2, dtype=model.dtype)
+        src = proj.apply({"params": pre_p["input_proj"]}, feats)
+        return {"src": src.reshape(bb, fh * fw, D),
+                "pos": pos.reshape(bb, fh * fw, D)}
+
+    def stage_one(p, t):
+        return {**t, "src": enc_template.apply(
+            {"params": p}, t["src"], t["pos"])}
+
+    gnorm = global_loss_normalizers(batch["mask"], Q)
+
+    def post_loss(lp, y, tgt):
+        memory, pos = y["src"], y["pos"]
+        bb = memory.shape[0]
+        query_pos = jnp.broadcast_to(
+            lp["query_embed"][None], (bb, Q, D)).astype(model.dtype)
+        h = jnp.zeros_like(query_pos)
+        intermediate = []
+        for i in range(n_dec):
+            h = dec_template.apply(
+                {"params": lp[f"decoder_layer_{i}"]},
+                h, memory, pos, query_pos, None, False)
+            intermediate.append(final_norm.apply(
+                {"params": lp["decoder_norm"]}, h))
+        hs = jnp.stack(intermediate, axis=0)
+        logits = class_embed.apply(
+            {"params": lp["class_embed"]}, hs).astype(jnp.float32)
+        bxs = bbox_embed.apply(
+            {"params": lp["bbox_embed"]}, hs).astype(jnp.float32)
+        out = {
+            "pred_logits": logits[-1], "pred_boxes": bxs[-1],
+            "aux_logits": logits[:-1], "aux_boxes": bxs[:-1],
+        }
+        total, _ = detr_loss(
+            out, tgt["boxes"], tgt["classes"], tgt["tmask"],
+            background_class, norm=gnorm)
+        return total
+
+    tr = params["transformer"]
+    enc_params = [tr[f"encoder_layer_{i}"] for i in range(n_enc)]
+    pre_params = {"backbone": params["backbone"],
+                  "input_proj": params["input_proj"]}
+    lp = {"decoder_norm": tr["decoder_norm"],
+          "class_embed": params["class_embed"],
+          "bbox_embed": params["bbox_embed"],
+          "query_embed": params["query_embed"]}
+    for i in range(n_dec):
+        lp[f"decoder_layer_{i}"] = tr[f"decoder_layer_{i}"]
+
+    targets = {"boxes": batch["boxes"], "classes": batch["classes"],
+               "tmask": batch["mask"]}
+    y, pre_vjp = jax.vjp(lambda pp_: pre_fn(pp_, batch["images"]),
+                         pre_params)
+    loss, enc_g, dx, lp_g = pipeline_train_1f1b(
+        scan_layers(stage_one), post_loss,
+        split_layers_into_stages(enc_params, S), y, targets, mesh,
+        n_micro=n_micro, stage_axis=stage_axis, data_axis=data_axis,
+        loss_params=lp)
+    (pre_g,) = pre_vjp(dx)
+
+    # Reassemble into the variables["params"] layout.
+    grads_tr = {"decoder_norm": lp_g["decoder_norm"]}
+    for i in range(n_dec):
+        grads_tr[f"decoder_layer_{i}"] = lp_g[f"decoder_layer_{i}"]
+    per = n_enc // S
+    for i in range(n_enc):
+        grads_tr[f"encoder_layer_{i}"] = jax.tree.map(
+            lambda a: a[i // per, i % per], enc_g)
+    grads = {
+        "backbone": pre_g["backbone"],
+        "input_proj": pre_g["input_proj"],
+        "transformer": grads_tr,
+        "class_embed": lp_g["class_embed"],
+        "bbox_embed": lp_g["bbox_embed"],
+        "query_embed": lp_g["query_embed"],
+    }
+    return loss, grads

@@ -657,6 +657,80 @@ class TestFullDetr1F1B:
                        g_enc_seq[i], f"enc{i}")
 
 
+class TestDetr1F1BValueAndGrad:
+    def test_equals_sequential_value_and_grad(self, rng):
+        """The library integration (parallel/detr_1f1b.py): loss and the
+        full params-shaped gradient tree equal jax.value_and_grad of the
+        PLAIN sequential model with the standard whole-batch detr_loss —
+        no reformulation, same variables tree, optax-ready grads."""
+        from detr_tensorflow_tpu.models import DETR
+        from detr_tensorflow_tpu.ops.losses import detr_loss
+        from detr_tensorflow_tpu.parallel.detr_1f1b import (
+            detr_1f1b_value_and_grad)
+
+        model = DETR(
+            num_classes=8, num_queries=6, model_dim=16, num_heads=2,
+            num_encoder_layers=4, num_decoder_layers=2,
+            dim_feedforward=32, backbone_stage_sizes=(1, 1, 1, 1),
+            dropout=0.0,
+        )
+        b = 8
+        images = jnp.asarray(
+            rng.normal(size=(b, 32, 32, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), images[:1])
+        batch = {
+            "images": images,
+            "boxes": jnp.asarray(
+                np.clip(rng.uniform(0.2, 0.8, (b, 6, 4)), 0.05, 0.95)
+                .astype(np.float32)),
+            "classes": jnp.ones((b, 6), jnp.int32),
+            "mask": jnp.asarray(
+                np.tile([True, True, False, False, False, False],
+                        (b, 1))),
+        }
+
+        def seq_loss(p):
+            out = model.apply(
+                {"params": p, "frozen": variables["frozen"]},
+                batch["images"])
+            total, _ = detr_loss(
+                out, batch["boxes"], batch["classes"], batch["mask"], 7)
+            return total
+
+        loss_seq, g_seq = jax.value_and_grad(seq_loss)(
+            variables["params"])
+
+        mesh = make_mesh(8, axis_names=("data", "stage"),
+                         axis_sizes=(2, 4))
+        loss, grads = jax.jit(
+            lambda v, bt: detr_1f1b_value_and_grad(
+                model, v, bt, mesh, background_class=7,
+                data_axis="data")
+        )(variables, batch)
+
+        np.testing.assert_allclose(float(loss), float(loss_seq),
+                                   rtol=1e-5)
+        flat_pp = {jax.tree_util.keystr(k): v for k, v in
+                   jax.tree_util.tree_leaves_with_path(grads)}
+        for k, v in jax.tree_util.tree_leaves_with_path(g_seq):
+            ks = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(flat_pp[ks]), np.asarray(v),
+                rtol=5e-4, atol=5e-5, err_msg=ks)
+
+        # And the grads drive a standard optax update.
+        import optax
+
+        opt = optax.adam(1e-3)
+        state = opt.init(variables["params"])
+        updates, _ = opt.update(grads, state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        assert jax.tree.reduce(
+            lambda a, l: a + int(np.isfinite(np.asarray(l)).all()),
+            new_params, 0
+        ) == len(jax.tree.leaves(new_params))
+
+
 class TestDetrEncoderPipeline:
     def test_encoder_stack_pipelined(self, rng):
         """The real EncoderLayer (models/transformer.py) pipelined over
