@@ -206,6 +206,9 @@ def bench_train(on_tpu: bool):
 
 
 def main():
+    import os
+    import threading
+
     import jax
 
     try:  # persistent compile cache shaves repeat-run compile time
@@ -214,7 +217,22 @@ def main():
     except Exception:
         pass
 
-    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    # Bound the first backend touch: relay outages can hang init
+    # indefinitely (observed: 25-40 min per attempt); fail fast enough
+    # that the retry + the fallback JSON still fit a CI budget.
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
+    devices = []
+    t = threading.Thread(target=lambda: devices.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout=init_timeout)
+    if not devices:
+        raise RuntimeError(
+            f"backend init exceeded {init_timeout:.0f}s — relay hang "
+            "(set BENCH_INIT_TIMEOUT_S to adjust)"
+        )
+
+    on_tpu = any(d.platform != "cpu" for d in devices)
     print(f"bench: devices={jax.devices()}", file=sys.stderr)
 
     def timed_health():

@@ -211,6 +211,12 @@ def pipeline_train_1f1b(
 ) -> tuple:
     """One-forward-one-backward (1F1B) pipelined **training step**.
 
+    The schedule of PipeDream-Flush (Narayanan et al. 2021) / the
+    Megatron-LM non-interleaved pipeline (Narayanan et al.,
+    "Efficient Large-Scale Language Model Training", 2021), expressed
+    as one SPMD ``lax.scan`` — no per-stage programs, no send/recv
+    framework, cotangents on the reverse ``ppermute``.
+
     GPipe (``pipeline_forward`` + AD) runs all T microbatch forwards,
     then all T backwards: every stage holds O(T) live residuals. 1F1B
     starts each microbatch's backward as soon as the last stage has its
