@@ -18,6 +18,7 @@ NOTEBOOKS = [
     "finetuning_tutorial.ipynb",
     "evaluation_tutorial.ipynb",
     "segmentation_tutorial.ipynb",
+    "scaling_tutorial.ipynb",
 ]
 
 
