@@ -192,6 +192,49 @@ def test_microbatched_loss_with_global_norm_equals_whole_batch(rng):
     np.testing.assert_allclose(total_mb, float(total_full), rtol=2e-5)
 
 
+def test_microbatched_mask_losses_with_global_norm(rng):
+    """The focal/dice mask losses also sum exactly across microbatches
+    under the global normalizer (the 1F1B/masked-model contract)."""
+    B, Q, T, C = 4, 6, 6, 8
+    p_logits = rng.normal(size=(B, Q, C)).astype(np.float32)
+    p_boxes = rng.uniform(0.25, 0.75, size=(B, Q, 4)).astype(np.float32)
+    t_bbox = np.zeros((B, T, 4), np.float32)
+    t_class = np.zeros((B, T), np.int32)
+    t_mask = np.zeros((B, T), bool)
+    for b in range(B):
+        n = 2 + b % 2
+        t_bbox[b, :n] = rng.uniform(0.25, 0.75, size=(n, 4))
+        t_class[b, :n] = rng.integers(0, C - 2, size=(n,))
+        t_mask[b, :n] = True
+    p_masks = rng.normal(size=(B, Q, 8, 8)).astype(np.float32)
+    t_masks = (rng.uniform(size=(B, T, 8, 8)) > 0.5).astype(np.uint8)
+
+    def outputs(sl):
+        return {
+            "pred_logits": jnp.asarray(p_logits[sl]),
+            "pred_boxes": jnp.asarray(p_boxes[sl]),
+            "pred_masks": jnp.asarray(p_masks[sl]),
+        }
+
+    total_full, log_full = losses.detr_loss(
+        outputs(slice(None)), jnp.asarray(t_bbox), jnp.asarray(t_class),
+        jnp.asarray(t_mask), C - 1, t_masks=jnp.asarray(t_masks),
+    )
+    assert "mask_loss" in log_full and "dice_loss" in log_full
+
+    norm = losses.global_loss_normalizers(jnp.asarray(t_mask), Q)
+    total_mb = 0.0
+    for i in range(B):
+        sl = slice(i, i + 1)
+        t, _ = losses.detr_loss(
+            outputs(sl), jnp.asarray(t_bbox[sl]), jnp.asarray(t_class[sl]),
+            jnp.asarray(t_mask[sl]), C - 1,
+            t_masks=jnp.asarray(t_masks[sl]), norm=norm,
+        )
+        total_mb += float(t)
+    np.testing.assert_allclose(total_mb, float(total_full), rtol=2e-5)
+
+
 def test_pack_unpack_roundtrip(rng):
     from detr_tensorflow_tpu.data import processing
 
