@@ -134,6 +134,64 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_1f1b_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    config,
+    mesh,
+    *,
+    stage_axis: str = "stage",
+    data_axis: Optional[str] = None,
+    n_micro: Optional[int] = None,
+) -> Callable:
+    """The Trainer-grade 1F1B step: (state, batch, lrs) -> (state, log).
+
+    Same contract as ``make_train_step`` (3-group optimizer, runtime
+    LRs, donated state) but gradients come from the interleaved
+    pipeline schedule (``parallel.detr_1f1b.detr_1f1b_value_and_grad``
+    — encoder staged over ``stage_axis``, O(depth) activation memory,
+    gradients equal to the sequential model). The log carries
+    ``total_loss`` + LRs only: component attribution would require
+    re-running the loss outside the schedule. Scope matches the
+    integration's v1 (head="detr", dropout 0, no masks).
+    """
+    background_class = int(config.background_class)
+    from ..parallel.detr_1f1b import detr_1f1b_value_and_grad
+
+    def step_fn(state: TrainState, batch, lrs):
+        total, grads = detr_1f1b_value_and_grad(
+            model,
+            {"params": state.params, "frozen": state.frozen},
+            batch, mesh,
+            background_class=background_class,
+            n_micro=n_micro, stage_axis=stage_axis, data_axis=data_axis,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = opt_lib.scale_updates_by_lr(updates, lrs)
+        params = optax.apply_updates(state.params, updates)
+        log = {
+            "total_loss": total,
+            "backbone_lr": lrs["backbone"],
+            "transformers_lr": lrs["transformers"],
+            "nlayers_lr": lrs["nlayers"],
+        }
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, log
+
+    repl = mesh_lib.replicated_sharding(mesh)
+    data = (
+        mesh_lib.batch_sharding(mesh, data_axis) if data_axis else repl
+    )
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_eval_step(model, config, mesh=None) -> Callable:
     """Jitted validation step: (state, batch) -> log (loss metrics)."""
     background_class = int(config.background_class)
@@ -166,18 +224,37 @@ def make_eval_step(model, config, mesh=None) -> Callable:
 class Trainer:
     """Stateful convenience wrapper tying model, optimizer, and mesh."""
 
-    def __init__(self, model, variables, config, mesh=None, rng=None):
+    def __init__(self, model, variables, config, mesh=None, rng=None,
+                 pipeline_1f1b=None):
+        """``pipeline_1f1b``: a ``parallel.pp.PipelineSpec`` — train
+        through the interleaved 1F1B schedule instead of plain AD (the
+        encoder stages over the spec's ``stage_axis``; see
+        ``make_1f1b_train_step`` for scope). ``mesh`` defaults to the
+        spec's mesh."""
         self.model = model
         self.config = config
+        self._pp1f1b = pipeline_1f1b
+        if pipeline_1f1b is not None and mesh is None:
+            mesh = pipeline_1f1b.mesh
         self.mesh = mesh
         self.state, self.tx = create_train_state(model, variables, config, rng)
         if mesh is not None and _has_model_axis(mesh):
             self.state = self._shard_state_tp(self.state, mesh)
         elif mesh is not None:
             self.state = mesh_lib.replicate(self.state, mesh)
-        self.train_step = make_train_step(model, self.tx, config, mesh)
+        self.train_step = self._make_train_step()
         self.eval_step = make_eval_step(model, config, mesh)
         self._lrs = opt_lib.lr_dict(config)
+
+    def _make_train_step(self):
+        if self._pp1f1b is not None:
+            spec = self._pp1f1b
+            return make_1f1b_train_step(
+                self.model, self.tx, self.config, spec.mesh,
+                stage_axis=spec.stage_axis, data_axis=spec.data_axis,
+                n_micro=spec.n_micro,
+            )
+        return make_train_step(self.model, self.tx, self.config, self.mesh)
 
     def _shard_state_tp(self, state: TrainState, mesh) -> TrainState:
         """Commit tensor-parallel shardings: params per parallel/tp.py,
@@ -217,11 +294,11 @@ class Trainer:
             self.state = self.state.replace(opt_state=opt_state)
             if self.mesh is not None:
                 self.state = mesh_lib.replicate(self.state, self.mesh)
-        self.train_step = make_train_step(self.model, tx, self.config, self.mesh)
+        self.train_step = self._make_train_step()
         self._lrs = opt_lib.lr_dict(self.config)
 
     def step(self, batch):
-        if self.mesh is not None:
+        if self.mesh is not None and "data" in self.mesh.axis_names:
             batch = mesh_lib.shard_batch(batch, self.mesh)
         self.state, log = self.train_step(self.state, batch, self._lrs)
         return log
@@ -367,11 +444,14 @@ def _fit_inner(trainer, train_dataset, config, epoch_nb, log_fn, log_every,
                 )
             elapsed = time.time() - t0
             if primary:
+                # Component terms are absent from the 1F1B step's log
+                # (total-only) — print what the step provides.
+                nan = float("nan")
                 print(
                     f"Epoch: [{epoch_nb}], \t Step: [{epoch_step}], \t "
-                    f"ce: [{float(log['label_cost']):.2f}] \t "
-                    f"giou: [{float(log['giou_loss']):.2f}] \t "
-                    f"l1: [{float(log['l1_loss']):.2f}] \t "
+                    f"ce: [{float(log.get('label_cost', nan)):.2f}] \t "
+                    f"giou: [{float(log.get('giou_loss', nan)):.2f}] \t "
+                    f"l1: [{float(log.get('l1_loss', nan)):.2f}] \t "
                     f"time: [{elapsed:.2f}]"
                 )
             t0 = time.time()

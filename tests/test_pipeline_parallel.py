@@ -731,6 +731,54 @@ class TestDetr1F1BValueAndGrad:
         ) == len(jax.tree.leaves(new_params))
 
 
+    def test_trainer_1f1b_schedule(self, rng):
+        """Trainer(pipeline_1f1b=PipelineSpec(...)): the ordinary
+        Trainer trains through the interleaved schedule — first-step
+        loss identical to the plain-AD Trainer (dropout 0), and the
+        loss decreases."""
+        from detr_tensorflow_tpu.models import DETR
+        from detr_tensorflow_tpu.parallel.pp import PipelineSpec
+        from detr_tensorflow_tpu.train import Trainer, TrainingConfig
+
+        mesh = make_mesh(8, axis_names=("data", "stage"),
+                         axis_sizes=(2, 4))
+        model = DETR(
+            num_classes=8, num_queries=6, model_dim=16, num_heads=2,
+            num_encoder_layers=4, num_decoder_layers=1,
+            dim_feedforward=32, backbone_stage_sizes=(1, 1, 1, 1),
+            dropout=0.0,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        config = TrainingConfig(
+            background_class=7, train_backbone=True,
+            train_transformers=True, train_nlayers=True,
+            batch_size=8, target_batch=8, transformers_lr=1e-3,
+        )
+        batch = {
+            "images": np.asarray(rng.normal(size=(8, 32, 32, 3)),
+                                 np.float32),
+            "boxes": np.clip(rng.uniform(0.2, 0.8, (8, 6, 4)), 0.05,
+                             0.95).astype(np.float32),
+            "classes": np.ones((8, 6), np.int32),
+            "mask": np.tile([True, True, False, False, False, False],
+                            (8, 1)),
+        }
+
+        plain = Trainer(model, variables, config, mesh=make_mesh(8))
+        ref_first = float(plain.step(batch)["total_loss"])
+
+        trainer = Trainer(
+            model, variables, config,
+            pipeline_1f1b=PipelineSpec(mesh=mesh, data_axis="data"),
+        )
+        first = float(trainer.step(batch)["total_loss"])
+        np.testing.assert_allclose(first, ref_first, rtol=1e-5)
+        for _ in range(6):
+            log = trainer.step(batch)
+        assert float(log["total_loss"]) < first
+
+
 class TestDetrEncoderPipeline:
     def test_encoder_stack_pipelined(self, rng):
         """The real EncoderLayer (models/transformer.py) pipelined over
