@@ -221,18 +221,26 @@ def main():
     # indefinitely (observed: 25-40 min per attempt); fail fast enough
     # that the retry + the fallback JSON still fit a CI budget.
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900"))
-    devices = []
-    t = threading.Thread(target=lambda: devices.extend(jax.devices()),
-                         daemon=True)
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devices"] = jax.devices()
+        except BaseException as e:  # report the REAL failure, not a
+            probe["error"] = e      # bogus timeout (fast UNAVAILABLE)
+
+    t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(timeout=init_timeout)
-    if not devices:
+    if "error" in probe:
+        raise probe["error"]
+    if "devices" not in probe:
         raise RuntimeError(
             f"backend init exceeded {init_timeout:.0f}s — relay hang "
             "(set BENCH_INIT_TIMEOUT_S to adjust)"
         )
 
-    on_tpu = any(d.platform != "cpu" for d in devices)
+    on_tpu = any(d.platform != "cpu" for d in probe["devices"])
     print(f"bench: devices={jax.devices()}", file=sys.stderr)
 
     def timed_health():

@@ -313,14 +313,10 @@ class Transformer(nn.Module):
 
         n_micro = spec.n_micro
         if n_micro is None:
-            # Largest feasible <= 2*n_stages (bubble under ~33%): the
-            # microbatch dim must also stay divisible by the data axis
-            # (each microbatch is sharded across data-parallel devices).
-            b = src.shape[0]
-            data = spec.mesh.shape[spec.data_axis] if spec.data_axis else 1
-            n_micro = max(2 * n_stages, 1)
-            while n_micro > 1 and (b % n_micro or (b // n_micro) % data):
-                n_micro //= 2
+            n_micro = pp_lib.choose_n_micro(
+                src.shape[0], n_stages,
+                spec.mesh.shape[spec.data_axis] if spec.data_axis else 1,
+            )
         out = pp_lib.pipeline_forward(
             stage_fn, stage_params, tree, spec.mesh,
             n_micro=n_micro, stage_axis=spec.stage_axis,

@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.losses import detr_loss, global_loss_normalizers
-from .pp import pipeline_train_1f1b, scan_layers, split_layers_into_stages
+from .pp import (
+    choose_n_micro,
+    pipeline_train_1f1b,
+    scan_layers,
+    split_layers_into_stages,
+)
 
 Pytree = Any
 
@@ -93,10 +98,9 @@ def detr_1f1b_value_and_grad(
     S = mesh.shape[stage_axis]
     b = batch["images"].shape[0]
     if n_micro is None:
-        data = mesh.shape[data_axis] if data_axis else 1
-        n_micro = max(2 * S, 1)
-        while n_micro > 1 and (b % n_micro or (b // n_micro) % data):
-            n_micro //= 2
+        n_micro = choose_n_micro(
+            b, S, mesh.shape[data_axis] if data_axis else 1
+        )
 
     stage_sizes = model.backbone_stage_sizes or {
         50: (3, 4, 6, 3), 101: (3, 4, 23, 3)

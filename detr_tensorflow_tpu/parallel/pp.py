@@ -89,6 +89,23 @@ class PipelineSpec:
     remat_stage: bool = False
 
 
+def choose_n_micro(batch: int, n_stages: int, data: int = 1) -> int:
+    """Largest feasible microbatch count <= 2*n_stages (bubble under
+    ~33%): must divide the batch, and each microbatch must stay
+    divisible by the data axis. Raises when no count works — a silent
+    fall-through would die later with an opaque shard_map shape
+    error."""
+    n_micro = max(2 * n_stages, 1)
+    while n_micro > 1 and (batch % n_micro or (batch // n_micro) % data):
+        n_micro //= 2
+    if batch % n_micro or (batch // n_micro) % data:
+        raise ValueError(
+            f"batch {batch} cannot be microbatched over data axis "
+            f"{data}: batch must be divisible by the data-parallel size"
+        )
+    return n_micro
+
+
 def stack_stage_params(per_stage: Sequence[Pytree]) -> Pytree:
     """Stack per-stage parameter pytrees along a new leading stage axis
     (the axis ``pipeline_forward`` shards over)."""
@@ -460,13 +477,10 @@ def pipeline_transformer_encoder(
     if n_stages is None:
         n_stages = mesh.shape[stage_axis]
     if n_micro is None:
-        # Largest feasible <= 2*n_stages (bubble under ~33%); the
-        # microbatch dim must stay divisible by the data axis.
-        b = jax.tree.leaves(src)[0].shape[0]
-        data = mesh.shape[data_axis] if data_axis else 1
-        n_micro = max(2 * n_stages, 1)
-        while n_micro > 1 and (b % n_micro or (b // n_micro) % data):
-            n_micro //= 2
+        n_micro = choose_n_micro(
+            jax.tree.leaves(src)[0].shape[0], n_stages,
+            mesh.shape[data_axis] if data_axis else 1,
+        )
     stage_params = split_layers_into_stages(encoder_layer_params, n_stages)
     return pipeline_forward(
         scan_layers(encoder_layer_apply), stage_params, src, mesh,

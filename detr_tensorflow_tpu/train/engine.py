@@ -69,6 +69,22 @@ def create_train_state(
     return state, tx
 
 
+def _optimizer_tail(state: TrainState, grads, tx, lrs, log):
+    """Shared step epilogue: 3-group update scaled by the runtime LRs,
+    LR logging, step bump — identical for the AD and 1F1B steps."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = opt_lib.scale_updates_by_lr(updates, lrs)
+    params = optax.apply_updates(state.params, updates)
+    log = dict(log)
+    log["backbone_lr"] = lrs["backbone"]
+    log["transformers_lr"] = lrs["transformers"]
+    log["nlayers_lr"] = lrs["nlayers"]
+    new_state = state.replace(
+        params=params, opt_state=opt_state, step=state.step + 1
+    )
+    return new_state, log
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -104,18 +120,9 @@ def make_train_step(
         (total, log), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = opt_lib.scale_updates_by_lr(updates, lrs)
-        params = optax.apply_updates(state.params, updates)
         log = dict(log)
         log["total_loss"] = total
-        log["backbone_lr"] = lrs["backbone"]
-        log["transformers_lr"] = lrs["transformers"]
-        log["nlayers_lr"] = lrs["nlayers"]
-        new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
-        )
-        return new_state, log
+        return _optimizer_tail(state, grads, tx, lrs, log)
 
     if mesh is not None and _has_model_axis(mesh):
         # Tensor-parallel (+ optional data-parallel): the state arrives
@@ -124,7 +131,7 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=(0,))
     if mesh is not None:
         repl = mesh_lib.replicated_sharding(mesh)
-        data = mesh_lib.batch_sharding(mesh)
+        data = _batch_sharding(mesh)
         return jax.jit(
             step_fn,
             in_shardings=(repl, data, repl),
@@ -166,19 +173,8 @@ def make_1f1b_train_step(
             background_class=background_class,
             n_micro=n_micro, stage_axis=stage_axis, data_axis=data_axis,
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = opt_lib.scale_updates_by_lr(updates, lrs)
-        params = optax.apply_updates(state.params, updates)
-        log = {
-            "total_loss": total,
-            "backbone_lr": lrs["backbone"],
-            "transformers_lr": lrs["transformers"],
-            "nlayers_lr": lrs["nlayers"],
-        }
-        new_state = state.replace(
-            params=params, opt_state=opt_state, step=state.step + 1
-        )
-        return new_state, log
+        return _optimizer_tail(state, grads, tx, lrs,
+                               {"total_loss": total})
 
     repl = mesh_lib.replicated_sharding(mesh)
     data = (
@@ -190,6 +186,15 @@ def make_1f1b_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def _batch_sharding(mesh):
+    """Batch placement for a mesh: sharded over 'data' when the mesh
+    has that axis, replicated otherwise (e.g. a stage-only 1F1B
+    mesh)."""
+    if "data" in mesh.axis_names:
+        return mesh_lib.batch_sharding(mesh)
+    return mesh_lib.replicated_sharding(mesh)
 
 
 def make_eval_step(model, config, mesh=None) -> Callable:
@@ -216,7 +221,7 @@ def make_eval_step(model, config, mesh=None) -> Callable:
         return jax.jit(step_fn)
     if mesh is not None:
         repl = mesh_lib.replicated_sharding(mesh)
-        data = mesh_lib.batch_sharding(mesh)
+        data = _batch_sharding(mesh)
         return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=(data, repl))
     return jax.jit(step_fn)
 
@@ -234,7 +239,13 @@ class Trainer:
         self.model = model
         self.config = config
         self._pp1f1b = pipeline_1f1b
-        if pipeline_1f1b is not None and mesh is None:
+        if pipeline_1f1b is not None:
+            if mesh is not None and mesh != pipeline_1f1b.mesh:
+                raise ValueError(
+                    "mesh= and pipeline_1f1b.mesh differ; the state and "
+                    "the 1F1B step must live on one mesh — pass only "
+                    "the spec (its mesh is used)"
+                )
             mesh = pipeline_1f1b.mesh
         self.mesh = mesh
         self.state, self.tx = create_train_state(model, variables, config, rng)
@@ -446,13 +457,17 @@ def _fit_inner(trainer, train_dataset, config, epoch_nb, log_fn, log_every,
             if primary:
                 # Component terms are absent from the 1F1B step's log
                 # (total-only) — print what the step provides.
-                nan = float("nan")
+                if "label_cost" in log:
+                    terms = (
+                        f"ce: [{float(log['label_cost']):.2f}] \t "
+                        f"giou: [{float(log['giou_loss']):.2f}] \t "
+                        f"l1: [{float(log['l1_loss']):.2f}]"
+                    )
+                else:
+                    terms = f"loss: [{float(log['total_loss']):.2f}]"
                 print(
                     f"Epoch: [{epoch_nb}], \t Step: [{epoch_step}], \t "
-                    f"ce: [{float(log.get('label_cost', nan)):.2f}] \t "
-                    f"giou: [{float(log.get('giou_loss', nan)):.2f}] \t "
-                    f"l1: [{float(log.get('l1_loss', nan)):.2f}] \t "
-                    f"time: [{elapsed:.2f}]"
+                    f"{terms} \t time: [{elapsed:.2f}]"
                 )
             t0 = time.time()
     return True

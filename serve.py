@@ -138,7 +138,9 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=8000)
-    parser.add_argument("--score_threshold", type=float, default=0.5)
+    parser.add_argument("--score_threshold", type=float, default=None,
+                        help="default 0.5; with --artifact, unset keeps "
+                             "the artifact's exported threshold")
     parser.add_argument("--bucket_divisor", type=int, default=128)
     parser.add_argument("--masks", action="store_true")
     parser.add_argument(
@@ -164,7 +166,9 @@ if __name__ == "__main__":
                                masks=args.masks)
         predictor = Predictor(
             model, background_class=91, bucket_divisor=args.bucket_divisor,
-            score_threshold=args.score_threshold, masks=args.masks,
+            score_threshold=(0.5 if args.score_threshold is None
+                             else args.score_threshold),
+            masks=args.masks,
         )
     if args.warmup:
         shapes = [tuple(map(int, s.split("x"))) for s in args.warmup.split(",")]
