@@ -59,6 +59,7 @@ def detr_1f1b_value_and_grad(
     n_micro: int = None,
     stage_axis: str = "stage",
     data_axis: str = None,
+    dropout_rng: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, Pytree]:
     """Full-DETR loss + gradients through the 1F1B pipeline schedule.
 
@@ -72,13 +73,24 @@ def detr_1f1b_value_and_grad(
       mesh: mesh carrying ``stage_axis`` (and optionally ``data_axis``).
       background_class: the "no object" class id.
       n_micro: microbatches (default: 2 × stages, clipped to divide B).
+      dropout_rng: PRNG key enabling dropout (required when
+        ``model.dropout > 0``). Per-layer encoder keys ride with the
+        stage parameters (``stage_aux`` — replayed exactly in the
+        backward re-linearization, so gradients stay exact for the
+        masks drawn); the decoder draws a distinct key per microbatch
+        (threaded through the targets pytree). Note the masks are
+        drawn per-microbatch, not once over the whole batch, so a
+        dropout run is not bitwise-comparable to the sequential
+        model's draw — it is deterministic given the key, and the
+        dropout-free path is unchanged (exact equality tests).
 
     Returns ``(loss, grads)``; ``grads`` matches ``variables["params"]``.
     """
-    if model.dropout != 0.0:
-        raise NotImplementedError(
-            "detr_1f1b_value_and_grad requires dropout=0.0 (v1); the "
-            "GPipe path (DETR(pipeline=...)) trains with dropout"
+    train = model.dropout > 0.0
+    if train and dropout_rng is None:
+        raise ValueError(
+            "model.dropout > 0 requires dropout_rng= (or use the "
+            "GPipe path, DETR(pipeline=...))"
         )
     if model.masks or model.head != "detr":
         raise NotImplementedError(
@@ -111,10 +123,13 @@ def detr_1f1b_value_and_grad(
         dtype=model.dtype,
     )
     proj = nn.Conv(D, (1, 1), dtype=model.dtype)
+    drop = model.dropout if train else 0.0
     enc_template = EncoderLayer(
-        D, heads, model.dim_feedforward, 0.0, model.dtype, model.attn_impl)
+        D, heads, model.dim_feedforward, drop, model.dtype,
+        model.attn_impl)
     dec_template = DecoderLayer(
-        D, heads, model.dim_feedforward, 0.0, model.dtype, model.attn_impl)
+        D, heads, model.dim_feedforward, drop, model.dtype,
+        model.attn_impl)
     final_norm = nn.LayerNorm(epsilon=1e-5, dtype=model.dtype)
     class_embed = nn.Dense(C, dtype=model.dtype)
     bbox_embed = MLP(D, 4, dtype=model.dtype)
@@ -136,6 +151,19 @@ def detr_1f1b_value_and_grad(
         return {**t, "src": enc_template.apply(
             {"params": p}, t["src"], t["pos"])}
 
+    def stage_scan_train(stacked_p, keys, t):
+        """One stage = scan over its layers, each with its own dropout
+        key (replayed exactly in the backward re-linearization)."""
+        def body(carry, xs):
+            p_l, k_l = xs
+            src = enc_template.apply(
+                {"params": p_l}, carry["src"], carry["pos"], None, True,
+                rngs={"dropout": k_l})
+            return {**carry, "src": src}, None
+
+        out, _ = jax.lax.scan(body, t, (stacked_p, keys))
+        return out
+
     gnorm = global_loss_normalizers(batch["mask"], Q)
 
     def post_loss(lp, y, tgt):
@@ -146,9 +174,15 @@ def detr_1f1b_value_and_grad(
         h = jnp.zeros_like(query_pos)
         intermediate = []
         for i in range(n_dec):
+            if train:
+                # Distinct key per microbatch (rode in with the
+                # targets), folded per decoder layer.
+                rngs = {"dropout": jax.random.fold_in(tgt["rng"][0], i)}
+            else:
+                rngs = None
             h = dec_template.apply(
                 {"params": lp[f"decoder_layer_{i}"]},
-                h, memory, pos, query_pos, None, False)
+                h, memory, pos, query_pos, None, train, rngs=rngs)
             intermediate.append(final_norm.apply(
                 {"params": lp["decoder_norm"]}, h))
         hs = jnp.stack(intermediate, axis=0)
@@ -178,13 +212,26 @@ def detr_1f1b_value_and_grad(
 
     targets = {"boxes": batch["boxes"], "classes": batch["classes"],
                "tmask": batch["mask"]}
+    if train:
+        enc_keys = jax.vmap(
+            lambda i: jax.random.fold_in(
+                jax.random.fold_in(dropout_rng, 1), i)
+        )(jnp.arange(n_enc))
+        stage_aux = enc_keys.reshape((S, n_enc // S) + enc_keys.shape[1:])
+        targets["rng"] = jax.vmap(
+            lambda i: jax.random.fold_in(
+                jax.random.fold_in(dropout_rng, 2), i)
+        )(jnp.arange(b))
+        stage_fn, aux = stage_scan_train, stage_aux
+    else:
+        stage_fn, aux = scan_layers(stage_one), None
     y, pre_vjp = jax.vjp(lambda pp_: pre_fn(pp_, batch["images"]),
                          pre_params)
     loss, enc_g, dx, lp_g = pipeline_train_1f1b(
-        scan_layers(stage_one), post_loss,
+        stage_fn, post_loss,
         split_layers_into_stages(enc_params, S), y, targets, mesh,
         n_micro=n_micro, stage_axis=stage_axis, data_axis=data_axis,
-        loss_params=lp)
+        loss_params=lp, stage_aux=aux)
     (pre_g,) = pre_vjp(dx)
 
     # Reassemble into the variables["params"] layout.

@@ -225,6 +225,7 @@ def pipeline_train_1f1b(
     stage_axis: str = "stage",
     data_axis: str = None,
     loss_params: Pytree = None,
+    stage_aux: Pytree = None,
 ) -> tuple:
     """One-forward-one-backward (1F1B) pipelined **training step**.
 
@@ -274,6 +275,15 @@ def pipeline_train_1f1b(
     backward wave start before all forwards finish. When given, a
     fourth output carries their gradient (replicated; accumulated at
     the last stage, one microbatch at a time).
+
+    ``stage_aux``: non-differentiable per-stage side inputs (leading
+    dim = n_stages on every leaf, like ``stage_params``) — dropout RNG
+    keys are the canonical case. When given, the stage signature is
+    ``stage_fn(params_i, aux_i, a)``. Aux rides OUTSIDE the vjp, so
+    integer leaves (PRNG keys) never produce float0 tangents, and the
+    backward re-linearization replays the exact same aux — dropout
+    masks are identical in forward and recompute, which is what makes
+    training with dropout exact.
     """
     n_stages = mesh.shape[stage_axis]
     S, T = n_stages, n_micro
@@ -304,8 +314,13 @@ def pipeline_train_1f1b(
     xs_sched = microbatch(x, (0, N - T))          # stage-0 feed at step n
     tgt_sched = microbatch(targets, (S - 1, N - T - (S - 1)))
 
-    def per_stage(params, lp, xs_sched, tgt_sched):
+    def per_stage(params, aux, lp, xs_sched, tgt_sched):
         p = jax.tree.map(lambda a: a[0], params)  # this stage's params
+        if stage_aux is None:
+            fn = stage_fn
+        else:
+            aux_i = jax.tree.map(lambda a: a[0], aux)
+            fn = lambda pp_, xx: stage_fn(pp_, aux_i, xx)
         s_idx = jax.lax.axis_index(stage_axis)
         is_last = s_idx == S - 1
         fwd_perm = [(i, i + 1) for i in range(S - 1)]
@@ -333,7 +348,7 @@ def pipeline_train_1f1b(
             inp = jax.tree.map(
                 lambda a, r: jnp.where(s_idx == 0, a, r), x_t, recv_f
             )
-            out = stage_fn(p, inp)
+            out = fn(p, inp)
             slot_f = jnp.mod(t_f, K)
             buf = jax.tree.map(
                 lambda bu, v: jax.lax.dynamic_update_index_in_dim(
@@ -371,7 +386,7 @@ def pipeline_train_1f1b(
             ct = jax.tree.map(
                 lambda gl, r: jnp.where(is_last, gl, r), g_y, recv_b
             )
-            _, stage_vjp = jax.vjp(stage_fn, p, x_saved)
+            _, stage_vjp = jax.vjp(fn, p, x_saved)
             gp_t, gx_t = stage_vjp(ct)
             gp = jax.tree.map(
                 lambda acc, g: acc + jnp.where(active_b, g, 0), gp, gp_t
@@ -412,10 +427,10 @@ def pipeline_train_1f1b(
     loss, grads, loss_grads, dx = shard_map(
         per_stage,
         mesh=mesh,
-        in_specs=(P(stage_axis), P(), spec_x, spec_x),
+        in_specs=(P(stage_axis), P(stage_axis), P(), spec_x, spec_x),
         out_specs=(P(), P(stage_axis), P(), spec_x),
         check_vma=False,
-    )(stage_params, loss_params, xs_sched, tgt_sched)
+    )(stage_params, stage_aux, loss_params, xs_sched, tgt_sched)
     dx = jax.tree.map(lambda a: a.reshape(b, *a.shape[2:]), dx)
     if loss_params is None:
         return loss, grads, dx

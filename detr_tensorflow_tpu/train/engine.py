@@ -159,8 +159,10 @@ def make_1f1b_train_step(
     — encoder staged over ``stage_axis``, O(depth) activation memory,
     gradients equal to the sequential model). The log carries
     ``total_loss`` + LRs only: component attribution would require
-    re-running the loss outside the schedule. Scope matches the
-    integration's v1 (head="detr", dropout 0, no masks).
+    re-running the loss outside the schedule. Dropout trains through
+    the schedule (per-layer keys ride with the stages, replayed
+    exactly in the backward re-linearization); scope otherwise matches
+    the integration's v1 (head="detr", no masks).
     """
     background_class = int(config.background_class)
     from ..parallel.detr_1f1b import detr_1f1b_value_and_grad
@@ -172,6 +174,7 @@ def make_1f1b_train_step(
             batch, mesh,
             background_class=background_class,
             n_micro=n_micro, stage_axis=stage_axis, data_axis=data_axis,
+            dropout_rng=jax.random.fold_in(state.dropout_rng, state.step),
         )
         return _optimizer_tail(state, grads, tx, lrs,
                                {"total_loss": total})

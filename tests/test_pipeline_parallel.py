@@ -731,6 +731,73 @@ class TestDetr1F1BValueAndGrad:
         ) == len(jax.tree.leaves(new_params))
 
 
+    def test_dropout_trains_through_schedule(self, rng):
+        """model.dropout > 0: per-layer encoder keys ride with the
+        stages (exactly replayed in the backward re-linearization) and
+        the decoder draws per-microbatch keys — deterministic given
+        the key, different across keys, finite grads, and the Trainer
+        integration converges with the reference recipe's dropout."""
+        from detr_tensorflow_tpu.models import DETR
+        from detr_tensorflow_tpu.parallel.detr_1f1b import (
+            detr_1f1b_value_and_grad)
+        from detr_tensorflow_tpu.parallel.pp import PipelineSpec
+        from detr_tensorflow_tpu.train import Trainer, TrainingConfig
+
+        mesh = make_mesh(4, axis_names=("stage",))
+        model = DETR(
+            num_classes=8, num_queries=6, model_dim=16, num_heads=2,
+            num_encoder_layers=4, num_decoder_layers=1,
+            dim_feedforward=32, backbone_stage_sizes=(1, 1, 1, 1),
+            dropout=0.1,
+        )
+        b = 4
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        batch = {
+            "images": jnp.asarray(rng.normal(size=(b, 32, 32, 3)),
+                                  jnp.float32),
+            "boxes": jnp.asarray(
+                np.clip(rng.uniform(0.2, 0.8, (b, 6, 4)), 0.05, 0.95)
+                .astype(np.float32)),
+            "classes": jnp.ones((b, 6), jnp.int32),
+            "mask": jnp.asarray(
+                np.tile([True, True, False, False, False, False],
+                        (b, 1))),
+        }
+
+        f = jax.jit(lambda v, bt, key: detr_1f1b_value_and_grad(
+            model, v, bt, mesh, background_class=7, dropout_rng=key)[0])
+        l_a = float(f(variables, batch, jax.random.PRNGKey(5)))
+        l_a2 = float(f(variables, batch, jax.random.PRNGKey(5)))
+        l_b = float(f(variables, batch, jax.random.PRNGKey(6)))
+        assert l_a == l_a2, "dropout must be deterministic given the key"
+        assert l_a != l_b, "different keys must draw different masks"
+
+        _, grads = jax.jit(lambda v, bt: detr_1f1b_value_and_grad(
+            model, v, bt, mesh, background_class=7,
+            dropout_rng=jax.random.PRNGKey(5)))(variables, batch)
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree.leaves(grads))
+
+        # missing key with dropout on is a clear error
+        with pytest.raises(ValueError, match="dropout_rng"):
+            detr_1f1b_value_and_grad(
+                model, variables, batch, mesh, background_class=7)
+
+        config = TrainingConfig(
+            background_class=7, train_backbone=True,
+            train_transformers=True, train_nlayers=True,
+            batch_size=b, target_batch=b, transformers_lr=1e-3,
+        )
+        trainer = Trainer(
+            model, variables, config,
+            pipeline_1f1b=PipelineSpec(mesh=mesh),
+        )
+        first = float(trainer.step(batch)["total_loss"])
+        for _ in range(6):
+            log = trainer.step(batch)
+        assert float(log["total_loss"]) < first
+
     def test_trainer_1f1b_schedule(self, rng):
         """Trainer(pipeline_1f1b=PipelineSpec(...)): the ordinary
         Trainer trains through the interleaved schedule — first-step
