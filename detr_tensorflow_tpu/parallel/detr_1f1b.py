@@ -78,11 +78,15 @@ def detr_1f1b_value_and_grad(
         stage parameters (``stage_aux`` — replayed exactly in the
         backward re-linearization, so gradients stay exact for the
         masks drawn); the decoder draws a distinct key per microbatch
-        (threaded through the targets pytree). Note the masks are
-        drawn per-microbatch, not once over the whole batch, so a
-        dropout run is not bitwise-comparable to the sequential
-        model's draw — it is deterministic given the key, and the
-        dropout-free path is unchanged (exact equality tests).
+        (threaded through the targets pytree). RNG-stream caveats vs
+        the sequential model: encoder mask *patterns* repeat across
+        microbatches within a step (one key per layer; per-microbatch
+        encoder keys would have to ride the differentiated activation
+        pytree, where integer leaves break the vjp), and the decoder
+        stream differs from a single whole-batch draw — so a dropout
+        run is deterministic given the key but not bitwise-comparable
+        to the sequential model; the dropout-free path is unchanged
+        (exact equality tests).
 
     Returns ``(loss, grads)``; ``grads`` matches ``variables["params"]``.
     """
