@@ -100,6 +100,7 @@ def load_coco_dataset(
     include_masks: bool = False,
     paper_protocol: Optional[Tuple[int, int]] = None,
     full_res_masks: bool = False,
+    multi_scale: Optional[Tuple[Tuple[int, int], ...]] = None,
 ):
     """Build (dataset, class_names).
 
@@ -118,6 +119,15 @@ def load_coco_dataset(
     the ``augmentation=None`` path before bucket padding — the protocol
     behind the paper's AP 42.0, which the reference only carries as
     disabled code (transformation.py:96-112).
+
+    multi_scale (or ``config.multi_scale``) is a ladder of (H, W) train
+    sizes: each example is transformed to one uniformly-drawn rung and
+    the pipeline buckets batches by shape, so every batch is one static
+    shape — the TPU-native adaptation of the DETR paper's multi-scale
+    training (the paper's ragged shortest-side-{480..800} resize becomes
+    a discrete ladder; the reference trains fixed-size only,
+    README.md:19). One XLA train program is compiled per rung. Only
+    meaningful with ``augmentation=True``.
     """
     del ann_dir
     ann_file = ann_file or config.data.full_ann_file
@@ -133,6 +143,14 @@ def load_coco_dataset(
     background_class = max_id + 1
 
     worker_rng = WorkerRNG(seed)
+    if multi_scale is None:
+        multi_scale = getattr(config, "multi_scale", None)
+    # Training only: validation/eval stay fixed-size (one program).
+    scales = (
+        tuple(tuple(s) for s in multi_scale)
+        if (multi_scale and augmentation is True)
+        else None
+    )
 
     def load_example(img_id):
         img = coco.loadImgs([img_id])[0]
@@ -146,9 +164,13 @@ def load_coco_dataset(
             return None  # reference filter, coco.py:118
         max_t = getattr(config, "num_queries", processing.MAX_TARGETS)
         if augmentation is not None:
+            rng = worker_rng.get()
+            size = (
+                scales[int(rng.integers(len(scales)))] if scales else None
+            )
             transformed = transforms.detr_transform(
                 image, t_bbox, t_class, config, augmentation,
-                rng=worker_rng.get(), masks=inst_masks,
+                rng=rng, masks=inst_masks, image_size=size,
             )
             image, t_bbox, t_class = transformed[:3]
             if len(t_bbox) == 0:
@@ -180,6 +202,9 @@ def load_coco_dataset(
     dataset = HostDataset(
         ids, load_example, batch_size, shuffle=shuffle, seed=seed,
         num_workers=num_workers,
+        bucket_key=(
+            (lambda ex: ex["images"].shape) if scales is not None else None
+        ),
     )
     dataset.background_class = background_class
     return dataset, class_names

@@ -66,6 +66,14 @@ class HostDataset:
       shuffle: reshuffle indices each epoch.
       num_workers: decode/augment threads.
       prefetch: max ready batches buffered ahead.
+      bucket_key: optional example -> hashable key. When set, batches
+        are assembled per key (a batch holds ``batch_size`` examples
+        with equal keys) — the multi-scale training pipeline keys on
+        the image shape so every emitted batch is one static shape and
+        XLA caches one program per shape. Per-bucket remainders are
+        dropped at epoch end (the drop_remainder rule, applied per
+        bucket). Bucketing reorders examples across buckets; within a
+        bucket, arrival order is preserved.
     """
 
     def __init__(
@@ -78,6 +86,7 @@ class HostDataset:
         num_workers: int = 8,
         prefetch: int = 8,
         collate_fn: Callable = stack_batch,
+        bucket_key: Callable = None,
     ):
         self.indices = list(indices)
         self.load_fn = load_fn
@@ -86,6 +95,7 @@ class HostDataset:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.collate_fn = collate_fn
+        self.bucket_key = bucket_key
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -138,7 +148,9 @@ class HostDataset:
                         if idx is None:
                             break
                         in_flight.append(pool.submit(self.load_fn, idx))
-                    pending: List = []
+                    # One pending list per bucket (a single None bucket
+                    # when bucket_key is unset).
+                    pending: Dict = {}
                     while in_flight:
                         if stop.is_set():
                             return
@@ -148,12 +160,14 @@ class HostDataset:
                             in_flight.append(pool.submit(self.load_fn, idx))
                         if ex is None:
                             continue
-                        pending.append(ex)
-                        if len(pending) == self.batch_size:
-                            if not safe_put(self.collate_fn(pending)):
+                        key = self.bucket_key(ex) if self.bucket_key else None
+                        bucket = pending.setdefault(key, [])
+                        bucket.append(ex)
+                        if len(bucket) == self.batch_size:
+                            if not safe_put(self.collate_fn(bucket)):
                                 return
-                            pending = []
-                    # drop remainder (static batch shape)
+                            pending[key] = []
+                    # drop remainder per bucket (static batch shape)
             except BaseException as e:  # noqa: BLE001 — relayed to consumer
                 error = e
             finally:

@@ -16,7 +16,7 @@ import numpy as np
 
 from . import processing, transforms
 from ..ops import boxes as bbox_ops
-from .pipeline import HostDataset
+from .pipeline import HostDataset, WorkerRNG
 
 
 def load_tfcsv_dataset(
@@ -45,7 +45,15 @@ def load_tfcsv_dataset(
     class_names = ["background"] + unique_class
 
     filenames = anns["filename"].unique().tolist()
-    rng = np.random.default_rng(seed)
+    # Per-thread RNG streams: numpy Generators are not thread-safe and
+    # load_example runs on the HostDataset worker pool (see WorkerRNG).
+    worker_rng = WorkerRNG(seed)
+    scales = (
+        tuple(tuple(s) for s in getattr(config, "multi_scale", None) or ())
+        or None
+        if augmentation is True
+        else None
+    )
 
     def load_example(filename):
         from .coco import _read_image
@@ -61,8 +69,12 @@ def load_tfcsv_dataset(
         xyxy = xyxy / np.array([w, h, w, h])
         t_bbox = bbox_ops.np_xyxy_to_xcycwh(xyxy).astype(np.float32)
         if augmentation is not None:
+            rng = worker_rng.get()
             image, t_bbox, t_class = transforms.detr_transform(
-                image, t_bbox, t_class, config, augmentation, rng=rng
+                image, t_bbox, t_class, config, augmentation, rng=rng,
+                image_size=(
+                    scales[int(rng.integers(len(scales)))] if scales else None
+                ),
             )
             if len(t_bbox) == 0:
                 return None
@@ -76,6 +88,9 @@ def load_tfcsv_dataset(
     dataset = HostDataset(
         filenames, load_example, batch_size, shuffle=shuffle, seed=seed,
         num_workers=num_workers,
+        bucket_key=(
+            (lambda ex: ex["images"].shape) if scales is not None else None
+        ),
     )
     dataset.background_class = 0
     return dataset, class_names

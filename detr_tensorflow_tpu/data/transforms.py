@@ -163,6 +163,7 @@ def detr_transform(
     augmentation: bool,
     rng: Optional[np.random.Generator] = None,
     masks: Optional[np.ndarray] = None,
+    image_size: Optional[Tuple[int, int]] = None,
 ) -> Tuple[np.ndarray, ...]:
     """Augment one image + normalized-xcycwh boxes (+ optional masks).
 
@@ -170,11 +171,13 @@ def detr_transform(
     ``config.image_size`` — signature parity with the reference
     ``detr_transform`` (transformation.py:163-195). When ``masks`` is
     given ((n, H, W) uint8), a fourth element with the transformed masks
-    is appended.
+    is appended. ``image_size`` overrides ``config.image_size`` for this
+    one example (the multi-scale training path draws a per-example rung
+    from the config's size ladder, data/coco.py).
     """
     if rng is None:
         rng = np.random.default_rng()
-    out_h, out_w = config.image_size
+    out_h, out_w = image_size if image_size is not None else config.image_size
     h, w = image.shape[:2]
     t_class = np.asarray(t_class).reshape(-1)
     with_masks = masks is not None

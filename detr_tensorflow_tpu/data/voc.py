@@ -87,6 +87,12 @@ def load_voc_dataset(
                 class_names.append(name)
 
     worker_rng = WorkerRNG(seed)
+    scales = (
+        tuple(tuple(s) for s in getattr(config, "multi_scale", None) or ())
+        or None
+        if augmentation is True
+        else None
+    )
 
     def load_example(img_id):
         from .coco import _read_image
@@ -107,8 +113,12 @@ def load_voc_dataset(
             return processing.make_eval_example(
                 image, t_bbox, t_class, config, bucket_divisor
             )
+        rng = worker_rng.get()
         image, t_bbox, t_class = transforms.detr_transform(
-            image, t_bbox, t_class, config, augmentation, rng=worker_rng.get()
+            image, t_bbox, t_class, config, augmentation, rng=rng,
+            image_size=(
+                scales[int(rng.integers(len(scales)))] if scales else None
+            ),
         )
         if len(t_bbox) == 0:
             return None
@@ -122,6 +132,9 @@ def load_voc_dataset(
     dataset = HostDataset(
         ids, load_example, batch_size, shuffle=shuffle, seed=seed,
         num_workers=num_workers,
+        bucket_key=(
+            (lambda ex: ex["images"].shape) if scales is not None else None
+        ),
     )
     dataset.background_class = 0
     return dataset, class_names

@@ -83,6 +83,17 @@ class TrainingConfig:
     backbone_depth: int = 50  # 50 | 101
     dilation: bool = False  # DC5: stride-16 C5 via dilated convs
 
+    # Multi-scale training: a discrete ladder of (H, W) train sizes.
+    # Each example is resized to one ladder rung (chosen uniformly at
+    # random) and the host pipeline groups batches by shape, so every
+    # batch is one static shape and XLA caches exactly one program per
+    # rung. This is the TPU-native adaptation of the DETR paper's
+    # multi-scale recipe, which the reference only carries as disabled
+    # code (reference data/transformation.py:96-112) — its README
+    # apologizes for fixed-size training (reference README.md:19).
+    # None = fixed ``image_size`` (reference behavior).
+    multi_scale: Optional[Tuple[Tuple[int, int], ...]] = None
+
     # TPU-native knobs
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
     attn_impl: str = "xla"  # "pallas" to use the flash-attention kernel
@@ -115,7 +126,17 @@ class TrainingConfig:
                 continue
             if hasattr(args, f.name) and getattr(args, f.name) is not None:
                 v = getattr(args, f.name)
-                kw[f.name] = tuple(v) if f.name == "image_size" else v
+                if f.name == "image_size":
+                    v = tuple(v)
+                elif f.name == "multi_scale":
+                    if len(v) % 2:
+                        raise SystemExit(
+                            "--multi_scale takes H W pairs (even count)"
+                        )
+                    v = tuple(
+                        (int(v[i]), int(v[i + 1])) for i in range(0, len(v), 2)
+                    )
+                kw[f.name] = v
         data = DataConfig(
             data_dir=getattr(args, "data_dir", None),
             img_dir=getattr(args, "img_dir", None),
@@ -138,6 +159,12 @@ def training_config_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="fixed train/resize size (reference default 376 672)")
+    p.add_argument("--multi_scale", type=int, nargs="+", default=None,
+                   metavar="N",
+                   help="multi-scale training size ladder as H W pairs, "
+                        "e.g. --multi_scale 320 576 376 672 432 768; "
+                        "batches are grouped by size so each rung is one "
+                        "compiled XLA program")
     # What to train
     p.add_argument("--train_backbone", action="store_true", default=None)
     p.add_argument("--train_transformers", action="store_true", default=None)

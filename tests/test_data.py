@@ -374,3 +374,60 @@ def test_coco_loader_paper_protocol(tmp_path, rng):
     # normalized boxes unchanged by the protocol resize
     assert np.allclose(b["boxes"][0, 0], [(10 + 15) / 90, (10 + 15) / 60,
                                           30 / 90, 30 / 60], atol=1e-5)
+
+
+def test_host_dataset_bucket_key():
+    """bucket_key groups batches by key: every batch is shape-pure and
+    per-bucket remainders are dropped (the multi-scale pipeline rule)."""
+    def load(i):
+        h = 4 if i % 2 == 0 else 6
+        return {"x": np.full((h,), i, np.float32)}
+
+    ds = HostDataset(list(range(10)), load, batch_size=2, shuffle=False,
+                     bucket_key=lambda ex: ex["x"].shape)
+    batches = list(ds)
+    # 5 examples per bucket -> 2 full batches each, 1 remainder dropped.
+    assert len(batches) == 4
+    shapes = sorted(b["x"].shape for b in batches)
+    assert shapes == [(2, 4), (2, 4), (2, 6), (2, 6)]
+    # Within a bucket, arrival order is preserved.
+    evens = [b for b in batches if b["x"].shape[1] == 4]
+    assert [int(v) for b in evens for v in b["x"][:, 0]] == [0, 2, 4, 6]
+
+
+def test_coco_loader_multi_scale(coco_root):
+    """config.multi_scale: every train batch lands on one ladder rung
+    (static shape), both rungs appear over epochs, and slotted targets
+    (incl. stride-4 masks) follow the rung's shape."""
+    rungs = ((32, 64), (64, 96))
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(coco_root), img_dir="images",
+                        ann_file="ann.json"),
+        image_size=(64, 96), multi_scale=rungs,
+    )
+    ds, _ = load_coco_dataset(config, 2, augmentation=True, seed=3,
+                              num_workers=2, include_masks=True)
+    seen = set()
+    for _ in range(6):
+        for batch in ds:
+            b, h, w, _ = batch["images"].shape
+            assert b == 2
+            assert (h, w) in rungs
+            seen.add((h, w))
+            assert batch["t_masks"].shape[2:] == (-(-h // 4), -(-w // 4))
+            assert batch["boxes"].shape == (2, 100, 4)
+    assert seen == set(rungs), seen
+    # Validation stays fixed-size even with multi_scale in the config.
+    vds, _ = load_coco_dataset(config, 2, augmentation=False, seed=3,
+                               num_workers=2)
+    for batch in vds:
+        assert batch["images"].shape[1:3] == (64, 96)
+
+
+def test_multi_scale_cli_pairs():
+    from detr_tensorflow_tpu.train import training_config_parser
+
+    p = training_config_parser()
+    args = p.parse_args(["--multi_scale", "320", "576", "376", "672"])
+    cfg = TrainingConfig().update_from_args(args)
+    assert cfg.multi_scale == ((320, 576), (376, 672))

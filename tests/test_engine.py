@@ -356,3 +356,22 @@ def test_elastic_resume_across_mesh_sizes(rng, tmp_path):
         float(resumed_log["total_loss"]), float(ref_log["total_loss"]),
         rtol=1e-6,
     )
+
+
+def test_multi_scale_train_step_across_shapes(rng):
+    """Multi-scale training: the jitted step retraces per image shape
+    (one cached XLA program per ladder rung) while optimizer state and
+    step count flow through unchanged — donation must not pin the state
+    to one program's layout."""
+    model = _tiny_model()
+    config = TrainingConfig(
+        background_class=0, train_backbone=True, train_transformers=True,
+        target_batch=None, backbone_lr=1e-3, transformers_lr=1e-3,
+    )
+    trainer = Trainer(model, _init(model), config)
+    losses = []
+    for h, w in ((32, 32), (48, 32), (32, 32), (48, 32)):
+        log = trainer.step(_batch(rng, h=h, w=w))
+        losses.append(float(log["total_loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert int(trainer.state.step) == 4
