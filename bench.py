@@ -138,7 +138,34 @@ def bench_inference(on_tpu: bool):
         r = forward(variables, images)
     float(r)  # materialize the tail of the in-order execution chain
     dt = time.time() - t0
-    return batch * iters / dt
+    return batch * iters / dt, _traced_device_ms(
+        lambda: float(forward(variables, images)), on_tpu
+    )
+
+
+def _traced_device_ms(step_once, on_tpu: bool, steps: int = 3):
+    """Stall-proof companion metric: per-step leaf-HLO device time from
+    a short profiler trace. Wall-clock through the remote-TPU relay is
+    depressed up to 10x during stall episodes (docs/performance.md
+    "Cold start"); device time is unaffected, so the artifact carries
+    both. Returns ms or None (trace unavailable / CPU run)."""
+    if not on_tpu:
+        return None
+    import tempfile
+
+    from detr_tensorflow_tpu.utils import device_ms_per_step, trace
+
+    try:
+        tdir = tempfile.mkdtemp(prefix="bench_trace_")
+        with trace(tdir):
+            for _ in range(steps):
+                step_once()
+        ms = device_ms_per_step(tdir, steps=steps)
+        return round(ms, 2) if ms is not None else None
+    except Exception as e:  # the companion metric must not sink the bench
+        print(f"bench: device-time trace failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        return None
 
 
 def bench_train(on_tpu: bool):
@@ -202,7 +229,12 @@ def bench_train(on_tpu: bool):
         log = trainer.step(batch_data)
     float(jax.device_get(log["total_loss"]))
     dt = time.time() - t0
-    return batch * iters / dt
+    return batch * iters / dt, _traced_device_ms(
+        lambda: float(
+            jax.device_get(trainer.step(batch_data)["total_loss"])
+        ),
+        on_tpu,
+    )
 
 
 def main():
@@ -261,14 +293,23 @@ def main():
               "are depressed by relay state, not code — "
               "docs/performance.md 'Cold start')", file=sys.stderr)
 
-    infer_ips = bench_inference(on_tpu)
+    infer_ips, infer_dev_ms = bench_inference(on_tpu)
     try:
-        train_ips = bench_train(on_tpu)
+        train_ips, train_dev_ms = bench_train(on_tpu)
     except Exception as e:  # train bench must not sink the headline metric
         print(f"bench[train]: failed ({type(e).__name__}: {e})", file=sys.stderr)
-        train_ips = None
+        train_ips, train_dev_ms = None, None
     health_after = timed_health() if on_tpu else None
 
+    # Stall-proof companions: images/sec at pure device time. When the
+    # relay is healthy these match the wall-clock numbers; during a
+    # stall episode only these are comparable round-over-round.
+    infer_dev_ips = (
+        round(32 * 1e3 / infer_dev_ms, 2) if infer_dev_ms else None
+    )
+    train_dev_ips = (
+        round(8 * 1e3 / train_dev_ms, 2) if train_dev_ms else None
+    )
     result = {
         "metric": "DETR-R50 inference images/sec/chip @ 1333x800 (bf16, batch 32)",
         "value": round(infer_ips, 2),
@@ -280,6 +321,12 @@ def main():
             ),
             "train_workload": "batch 8 @ 376x672, full step (fwd+match+loss+bwd+3-group Adam)",
             "relay_health_ms_before_after": [health_before, health_after],
+            "device_time_ms_per_step": {
+                "infer": infer_dev_ms, "train": train_dev_ms,
+            },
+            "images_per_sec_devicetime": {
+                "infer": infer_dev_ips, "train": train_dev_ips,
+            },
         },
     }
     print(json.dumps(result))

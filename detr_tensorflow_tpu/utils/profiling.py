@@ -8,7 +8,12 @@ Here:
   * ``Timer`` / ``benchmark_fn`` — synchronized wall-clock timing that
     materializes outputs, robust to async dispatch (including the
     remote-TPU relay where ``block_until_ready`` alone can be
-    unreliable — see bench.py).
+    unreliable — see bench.py);
+  * ``device_ms_per_step(trace_dir)`` — leaf-HLO device time from an
+    xplane trace: the only stall-proof throughput metric through the
+    remote-TPU relay, whose multi-minute stall episodes depress
+    wall-clock numbers by up to 10x without touching device time
+    (docs/performance.md "Cold start").
 """
 
 from __future__ import annotations
@@ -29,6 +34,51 @@ def trace(logdir: str, create_perfetto_link: bool = False):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_ms_per_step(trace_dir: str, steps: int = 1) -> Optional[float]:
+    """Per-step device time (ms) from the newest xplane trace under
+    ``trace_dir``: sum of leaf-HLO ("XLA Ops" line) event durations on
+    the TPU plane divided by ``steps``.
+
+    Excludes host time, dispatch latency, and relay stalls by
+    construction — wall-clock throughput from a degraded relay window is
+    not comparable across runs, device time is (same method as
+    scripts/xplane_bytes.py, the layer behind docs/performance.md's
+    roofline tables). Returns None when no trace/TPU plane is found or
+    the xplane protobuf is unavailable.
+    """
+    import glob
+    import os
+
+    try:
+        try:
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+        except ImportError:  # older/newer TF layouts
+            from tensorflow.core.profiler.protobuf import xplane_pb2
+    except Exception:
+        return None
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        return None
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        total_ps = sum(
+            ev.duration_ps
+            for line in plane.lines
+            if line.name == "XLA Ops"
+            for ev in line.events
+        )
+        if total_ps:
+            return total_ps / 1e9 / max(1, steps)
+    return None
 
 
 def _materialize(x):
