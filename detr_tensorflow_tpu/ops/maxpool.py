@@ -14,14 +14,21 @@ backward for a pure gather/select formulation via ``jax.custom_vjp``:
     first-occurrence semantics — the same winner XLA's
     select-and-scatter picks with its ``ge`` select in row-major window
     order);
-  * each offset's gradient contribution is ``where(argmax == k, g, 0)``
-    placed back on the input lattice with one ``lax.pad`` (interior
-    dilation 1 for stride 2, negative edge padding trims the
-    out-of-bounds corner) — no scatter anywhere.
+  * the gradient image is assembled by **stride parity**: an input
+    position (i, j) with padded coords (ip, jp) = (i+1, j+1) receives
+    contributions only from window offsets with di ≡ ip (mod 2) and
+    dj ≡ jp (mod 2), so each of the 4 parity subgrids is a sum of 1, 2
+    or 4 *edge-padded shifts* of ``where(argmax == k, g, 0)`` on the
+    small (OH, OW) lattice, and one stack+reshape interleave (the
+    depth-to-space trick) produces the full-resolution gradient. No
+    scatter and — critically — **no interior-dilated pads**: a first
+    version placed each offset with ``lax.pad(interior=1)`` on the
+    (B, H, W, C) stem activation and XLA lowered those nine pads at
+    25-40 GB/s, ~21 ms/step — silently 1.7x-ing the whole train step
+    (found via the stall-proof device-time metric in bench.py).
 
-Everything is elementwise selects, strided slices and pads, which XLA
-fuses into one bandwidth-bound kernel: ~2 reads + 1 write of the stem
-activation instead of select-and-scatter's serialized window walk.
+Everything is elementwise selects, strided slices, small edge pads and
+one relayout, which XLA fuses into bandwidth-bound kernels.
 """
 
 from __future__ import annotations
@@ -89,24 +96,40 @@ def _bwd(x: Array, g: Array):
     stacked = jnp.stack(views)  # (9, B, OH, OW, C)
     amax = jnp.argmax(stacked, axis=0).astype(jnp.int32)  # first max wins
 
-    dx = jnp.zeros_like(x)
-    k = 0
-    for di in range(3):
-        for dj in range(3):
-            gk = jnp.where(amax == k, g, jnp.zeros_like(g))
-            # Place gk[oi, oj] at input position (2*oi + di - 1,
-            # 2*oj + dj - 1): interior-dilate by 1 (stride 2) and shift
-            # by di-1 / dj-1; negative low padding trims the oi = 0 row
-            # that falls at input index -1.
-            lo_h, lo_w = di - 1, dj - 1
-            hi_h = h - (2 * oh - 1) - lo_h
-            hi_w = w - (2 * ow - 1) - lo_w
-            dx = dx + lax.pad(
-                gk, jnp.zeros((), gk.dtype),
-                ((0, 0, 0), (lo_h, hi_h, 1), (lo_w, hi_w, 1), (0, 0, 0)),
-            )
-            k += 1
-    return (dx,)
+    # Parity-subgrid assembly. Padded coords: ip = 2*wi + di, so window
+    # offset (di, dj) contributes to parity (ip%2, jp%2) = (di%2, dj%2)
+    # at subgrid index (wi + [di == 2], wj + [dj == 2]). Each subgrid
+    # spans A x Aw (A = ceil((h+2)/2)) so the interleave covers the
+    # whole padded lattice.
+    A, aw = (h + 3) // 2, (w + 3) // 2
+
+    def placed(k: int, rshift: int, cshift: int) -> Array:
+        """This offset's gradient on its parity subgrid: shift by one
+        row/col for di/dj == 2, zero-fill to (A, Aw). Edge pads only."""
+        gk = jnp.where(amax == k, g, jnp.zeros_like(g))
+        return lax.pad(
+            gk, jnp.zeros((), gk.dtype),
+            ((0, 0, 0), (rshift, A - oh - rshift, 0),
+             (cshift, aw - ow - cshift, 0), (0, 0, 0)),
+        )
+
+    # k = 3*di + dj (row-major, matching _offset_views order).
+    ee = placed(0, 0, 0) + placed(2, 0, 1) + placed(6, 1, 0) + placed(8, 1, 1)
+    eo = placed(1, 0, 0) + placed(7, 1, 0)
+    oe = placed(3, 0, 0) + placed(5, 0, 1)
+    oo = placed(4, 0, 0)
+
+    # Interleave columns within each row parity, then rows (the
+    # depth-to-space trick): dxpad[2a + p, 2q + r] = grid[p][r][a, q].
+    cols_even = jnp.stack([ee, eo], axis=3).reshape(b, A, 2 * aw, c)
+    cols_odd = jnp.stack([oe, oo], axis=3).reshape(b, A, 2 * aw, c)
+    dxpad = jnp.stack([cols_even, cols_odd], axis=2).reshape(
+        b, 2 * A, 2 * aw, c
+    )
+    # Input coord i sits at padded coord i+1; border rows/cols are -inf
+    # pad positions that never win a max, and the interleave's trailing
+    # zero-fill rows fall outside the slice.
+    return (dxpad[:, 1 : h + 1, 1 : w + 1, :],)
 
 
 max_pool_3x3_s2.defvjp(_fwd, _bwd)
