@@ -21,6 +21,7 @@ import numpy as np
 from . import masks as seg_masks
 from . import processing, transforms
 from .coco_api import CocoIndex
+from .multiscale import MultiScalePlan
 from .pipeline import HostDataset, WorkerRNG
 
 # Display names for the standard 91-id COCO category space + "back".
@@ -146,8 +147,12 @@ def load_coco_dataset(
     if multi_scale is None:
         multi_scale = getattr(config, "multi_scale", None)
     # Training only: validation/eval stay fixed-size (one program).
-    scales = (
-        tuple(tuple(s) for s in multi_scale)
+    # The rung an example trains at is f(seed, image id) — reproducible
+    # across runs and thread schedules; under multi-host the plan
+    # switches to a batch-indexed schedule shared by all hosts so every
+    # process emits the same shape at the same step (data/multiscale.py).
+    plan = (
+        MultiScalePlan(multi_scale, seed)
         if (multi_scale and augmentation is True)
         else None
     )
@@ -165,9 +170,7 @@ def load_coco_dataset(
         max_t = getattr(config, "num_queries", processing.MAX_TARGETS)
         if augmentation is not None:
             rng = worker_rng.get()
-            size = (
-                scales[int(rng.integers(len(scales)))] if scales else None
-            )
+            size = plan.size_for(img_id) if plan else None
             transformed = transforms.detr_transform(
                 image, t_bbox, t_class, config, augmentation,
                 rng=rng, masks=inst_masks, image_size=size,
@@ -202,9 +205,9 @@ def load_coco_dataset(
     dataset = HostDataset(
         ids, load_example, batch_size, shuffle=shuffle, seed=seed,
         num_workers=num_workers,
-        bucket_key=(
-            (lambda ex: ex["images"].shape) if scales is not None else None
-        ),
+        bucket_key=plan.bucket_key if plan else None,
+        batch_transform=plan.batch_transform if plan else None,
+        on_epoch_start=plan.set_epoch if plan else None,
     )
     dataset.background_class = background_class
     return dataset, class_names

@@ -74,6 +74,12 @@ class HostDataset:
         dropped at epoch end (the drop_remainder rule, applied per
         bucket). Bucketing reorders examples across buckets; within a
         bucket, arrival order is preserved.
+      batch_transform: optional ``(batch_dict, batch_index) -> batch_dict``
+        applied to each assembled batch before it is queued; batch_index
+        counts emitted batches from 0 across the dataset's lifetime
+        (continuing across epochs). Used by multi-host multi-scale
+        training to resize batch ``i`` to a host-agnostic rung schedule
+        (data/multiscale.py).
     """
 
     def __init__(
@@ -87,6 +93,8 @@ class HostDataset:
         prefetch: int = 8,
         collate_fn: Callable = stack_batch,
         bucket_key: Callable = None,
+        batch_transform: Callable = None,
+        on_epoch_start: Callable = None,
     ):
         self.indices = list(indices)
         self.load_fn = load_fn
@@ -96,6 +104,10 @@ class HostDataset:
         self.prefetch = prefetch
         self.collate_fn = collate_fn
         self.bucket_key = bucket_key
+        self.batch_transform = batch_transform
+        self.on_epoch_start = on_epoch_start
+        self._emitted = 0  # lifetime batch counter for batch_transform
+        self._epoch = 0
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -112,6 +124,11 @@ class HostDataset:
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.on_epoch_start is not None:
+            # e.g. MultiScalePlan.set_epoch — per-epoch deterministic
+            # rung re-draws (data/multiscale.py).
+            self.on_epoch_start(self._epoch)
+        self._epoch += 1
         out_q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = threading.Event()
 
@@ -164,7 +181,13 @@ class HostDataset:
                         bucket = pending.setdefault(key, [])
                         bucket.append(ex)
                         if len(bucket) == self.batch_size:
-                            if not safe_put(self.collate_fn(bucket)):
+                            batch = self.collate_fn(bucket)
+                            if self.batch_transform is not None:
+                                batch = self.batch_transform(
+                                    batch, self._emitted
+                                )
+                                self._emitted += 1
+                            if not safe_put(batch):
                                 return
                             pending[key] = []
                     # drop remainder per bucket (static batch shape)

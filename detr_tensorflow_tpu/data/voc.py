@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 
 from . import processing, transforms
+from .multiscale import MultiScalePlan
 from .pipeline import HostDataset, WorkerRNG
 
 VOC_CLASS_NAME = [
@@ -87,12 +88,12 @@ def load_voc_dataset(
                 class_names.append(name)
 
     worker_rng = WorkerRNG(seed)
-    scales = (
-        tuple(tuple(s) for s in getattr(config, "multi_scale", None) or ())
-        or None
-        if augmentation is True
-        else None
+    ladder = (
+        getattr(config, "multi_scale", None) if augmentation is True else None
     )
+    # Rung = f(seed, image id); host-synchronized under multi-host
+    # (data/multiscale.py).
+    plan = MultiScalePlan(ladder, seed) if ladder else None
 
     def load_example(img_id):
         from .coco import _read_image
@@ -116,9 +117,7 @@ def load_voc_dataset(
         rng = worker_rng.get()
         image, t_bbox, t_class = transforms.detr_transform(
             image, t_bbox, t_class, config, augmentation, rng=rng,
-            image_size=(
-                scales[int(rng.integers(len(scales)))] if scales else None
-            ),
+            image_size=plan.size_for(img_id) if plan else None,
         )
         if len(t_bbox) == 0:
             return None
@@ -132,9 +131,9 @@ def load_voc_dataset(
     dataset = HostDataset(
         ids, load_example, batch_size, shuffle=shuffle, seed=seed,
         num_workers=num_workers,
-        bucket_key=(
-            (lambda ex: ex["images"].shape) if scales is not None else None
-        ),
+        bucket_key=plan.bucket_key if plan else None,
+        batch_transform=plan.batch_transform if plan else None,
+        on_epoch_start=plan.set_epoch if plan else None,
     )
     dataset.background_class = 0
     return dataset, class_names

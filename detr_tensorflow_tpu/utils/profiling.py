@@ -38,12 +38,21 @@ def trace(logdir: str, create_perfetto_link: bool = False):
 
 def device_ms_per_step(trace_dir: str, steps: int = 1) -> Optional[float]:
     """Per-step device time (ms) from the newest xplane trace under
-    ``trace_dir``: sum of leaf-HLO ("XLA Ops" line) event durations on
-    the TPU plane divided by ``steps``.
+    ``trace_dir`` — see ``device_stats_per_step``."""
+    stats = device_stats_per_step(trace_dir, steps)
+    return stats["device_ms"] if stats else None
 
-    Excludes host time, dispatch latency, and relay stalls by
-    construction — wall-clock throughput from a degraded relay window is
-    not comparable across runs, device time is (same method as
+
+def device_stats_per_step(trace_dir: str, steps: int = 1) -> Optional[dict]:
+    """Per-step device stats from the newest xplane trace under
+    ``trace_dir``: sum of leaf-HLO ("XLA Ops" line) event durations and
+    XLA's ``bytes_accessed`` on the TPU plane, divided by ``steps``.
+
+    Returns ``{"device_ms", "gb_accessed", "gbps"}`` (gb fields None
+    when the trace carries no bytes_accessed stats). Excludes host
+    time, dispatch latency, and relay stalls by construction —
+    wall-clock throughput from a degraded relay window is not
+    comparable across runs, device time is (same method as
     scripts/xplane_bytes.py, the layer behind docs/performance.md's
     roofline tables). Returns None when no trace/TPU plane is found or
     the xplane protobuf is unavailable.
@@ -70,14 +79,28 @@ def device_ms_per_step(trace_dir: str, steps: int = 1) -> Optional[float]:
     for plane in xs.planes:
         if "TPU" not in plane.name:
             continue
-        total_ps = sum(
-            ev.duration_ps
-            for line in plane.lines
-            if line.name == "XLA Ops"
-            for ev in line.events
-        )
+        stat_names = {sid: m.name for sid, m in plane.stat_metadata.items()}
+        total_ps = 0
+        total_bytes = 0
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                total_ps += ev.duration_ps
+                meta = plane.event_metadata[ev.metadata_id]
+                b = 0
+                for st in list(ev.stats) + list(meta.stats):
+                    if stat_names.get(st.metadata_id) == "bytes_accessed":
+                        b = max(b, st.uint64_value or st.int64_value or 0)
+                total_bytes += b
         if total_ps:
-            return total_ps / 1e9 / max(1, steps)
+            ms = total_ps / 1e9 / max(1, steps)
+            gb = total_bytes / 1e9 / max(1, steps)
+            return {
+                "device_ms": ms,
+                "gb_accessed": gb if total_bytes else None,
+                "gbps": (gb / (ms / 1e3)) if total_bytes else None,
+            }
     return None
 
 
