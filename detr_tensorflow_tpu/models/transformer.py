@@ -202,10 +202,13 @@ class Transformer(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False  # rematerialize layer activations (trade FLOPs
     # for HBM when training with very large batches/resolutions)
-    # GPipe pipeline-parallel encoder (parallel/pp.PipelineSpec): the
-    # encoder stack runs staged over the spec's mesh axis; params,
-    # outputs and gradients are bitwise-identical trees (verified by
-    # tests/test_pipeline_parallel.py::TestDetrPipelined). None = off.
+    # GPipe pipeline-parallel transformer (parallel/pp.PipelineSpec):
+    # the encoder stack — and, when num_decoder_layers divides the
+    # stage count, the decoder stack too — runs staged over the spec's
+    # mesh axis; params, outputs and gradients are identical trees
+    # (verified by tests/test_pipeline_parallel.py::TestDetrPipelined).
+    # A decoder depth that doesn't divide the stages falls back to the
+    # sequential decoder (encoder still staged). None = off.
     pipeline: Optional[Any] = None
 
     @nn.compact
@@ -237,6 +240,23 @@ class Transformer(nn.Module):
         tgt = jnp.zeros_like(query_pos)  # reference transformer.py:45
 
         final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
+        stage_decoder = (
+            self.pipeline is not None
+            and not self.is_initializing()
+            and self.num_decoder_layers
+            % self.pipeline.mesh.shape[self.pipeline.stage_axis] == 0
+        )
+        if stage_decoder:
+            # (B, L, Q, D) pre-norm stack from the staged decoder; the
+            # shared final LayerNorm is elementwise over D, so applying
+            # it to the whole stack equals the sequential per-layer
+            # normalization exactly.
+            hs_raw = self._pipelined_decoder(
+                tgt, memory, pos, query_pos, key_padding_mask, train
+            )
+            hs = final_norm(jnp.moveaxis(hs_raw, 0, 1))
+            return hs, memory
+
         intermediate = []
         for i in range(self.num_decoder_layers):
             tgt = dec_cls(
@@ -325,3 +345,108 @@ class Transformer(nn.Module):
             remat_stage=getattr(spec, "remat_stage", False),
         )
         return out["src"]
+
+    def _pipelined_decoder(
+        self, tgt, memory, pos, query_pos, key_padding_mask, train
+    ):
+        """GPipe-pipeline the decoder stack over ``self.pipeline``'s mesh.
+
+        Same construction as ``_pipelined_encoder`` — per-layer params
+        read from this module's scope, re-applied through an unbound
+        DecoderLayer template inside ``parallel.pp.pipeline_forward`` —
+        with two decoder-specific twists:
+
+        * the encoder **memory** (plus positions/query positions/mask)
+          rides the rotation with each microbatch, exactly like ``pos``
+          does in the encoder path: every stage cross-attends to the
+          microbatch's own memory, so the staged math is identical to
+          sequential;
+        * every layer's output is needed (the aux-loss intermediates),
+          so the rotating tree carries an ``hs`` buffer (mb, L, Q, D)
+          that each stage fills at its own layer offsets — the offset
+          travels as a per-stage "parameter" (an ``arange`` leaf in the
+          stacked stage params), which is how a stage knows which rows
+          are its own without consulting the mesh axis index.
+
+        Returns the pre-final-norm (B, L, Q, D) stack.
+        """
+        import jax
+
+        from ..parallel import pp as pp_lib
+
+        spec = self.pipeline
+        n_layers = self.num_decoder_layers
+        n_stages = spec.mesh.shape[spec.stage_axis]
+        per = n_layers // n_stages
+        template = DecoderLayer(
+            self.model_dim, self.num_heads, self.dim_feedforward,
+            self.dropout, self.dtype, self.attn_impl,
+        )
+        layer_params = [
+            self.get_variable("params", f"decoder_layer_{i}")
+            for i in range(n_layers)
+        ]
+        stage_params = {
+            "layers": pp_lib.split_layers_into_stages(
+                layer_params, n_stages
+            ),
+            "offset": jnp.arange(n_stages) * per,
+        }
+        needs_rng = train and self.dropout > 0.0
+        if needs_rng:
+            base = self.make_rng("dropout")
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                jnp.arange(n_layers)
+            )
+            stage_params["keys"] = keys.reshape(
+                (n_stages, per) + keys.shape[1:]
+            )
+
+        b = tgt.shape[0]
+        tree = {
+            "tgt": tgt,
+            "hs": jnp.zeros(
+                (b, n_layers) + tgt.shape[1:], tgt.dtype
+            ),
+            "mem": memory,
+            "pos": pos,
+            "qpos": query_pos,
+        }
+        if key_padding_mask is not None:
+            tree["kpm"] = key_padding_mask
+
+        def stage_fn(pr, t):
+            offset = pr["offset"]
+
+            def body(carry, xs):
+                h, hs = carry
+                rngs = {"dropout": xs["k"]} if needs_rng else None
+                out = template.apply(
+                    {"params": xs["p"]}, h, t["mem"], t["pos"], t["qpos"],
+                    t.get("kpm"), train, rngs=rngs,
+                )
+                hs = jax.lax.dynamic_update_index_in_dim(
+                    hs, out, offset + xs["j"], 1
+                )
+                return (out, hs), None
+
+            xs = {"p": pr["layers"], "j": jnp.arange(per)}
+            if needs_rng:
+                xs["k"] = pr["keys"]
+            (h, hs), _ = jax.lax.scan(body, (t["tgt"], t["hs"]), xs)
+            return {**t, "tgt": h, "hs": hs}
+
+        n_micro = spec.n_micro
+        if n_micro is None:
+            n_micro = pp_lib.choose_n_micro(
+                b, n_stages,
+                spec.mesh.shape[spec.data_axis] if spec.data_axis else 1,
+            )
+        out = pp_lib.pipeline_forward(
+            stage_fn, stage_params, tree, spec.mesh,
+            n_micro=n_micro, stage_axis=spec.stage_axis,
+            data_axis=spec.data_axis,
+            tp_axis=getattr(spec, "tp_axis", None),
+            remat_stage=getattr(spec, "remat_stage", False),
+        )
+        return out["hs"]

@@ -98,7 +98,10 @@ def detr_1f1b_value_and_grad(
         )
     if model.masks or model.head != "detr":
         raise NotImplementedError(
-            "v1 supports head='detr' without the segmentation head"
+            "the 1F1B schedule supports head='detr' without the "
+            "segmentation head; masks/non-detr variants pipeline via "
+            "the GPipe path — DETR(pipeline=spec) — which the Trainer "
+            "selects automatically (train/engine.py)"
         )
     from flax import linen as nn
 

@@ -250,6 +250,25 @@ class Trainer:
                     "the spec (its mesh is used)"
                 )
             mesh = pipeline_1f1b.mesh
+            if getattr(model, "masks", False) or \
+                    getattr(model, "head", "detr") != "detr":
+                # The explicit-VJP 1F1B schedule covers head="detr"
+                # without the segmentation head (parallel/detr_1f1b.py
+                # scope); other variants pipeline through the GPipe/AD
+                # path on the same mesh instead of raising — identical
+                # parameter tree, same staging, O(n_micro) activation
+                # memory instead of O(depth).
+                import warnings
+
+                warnings.warn(
+                    "pipeline_1f1b: model has masks/non-detr head — "
+                    "routing to the GPipe pipeline schedule "
+                    "(DETR(pipeline=...)); the 1F1B memory bound only "
+                    "applies to head='detr' detection models",
+                    stacklevel=2,
+                )
+                self._pp1f1b = None
+                self.model = model = model.clone(pipeline=pipeline_1f1b)
         self.mesh = mesh
         self.state, self.tx = create_train_state(model, variables, config, rng)
         if mesh is not None and _has_model_axis(mesh):

@@ -1020,3 +1020,110 @@ class TestDetrPipelined:
         for _ in range(8):
             log = trainer.step(batch)
         assert float(log["total_loss"]) < first
+
+    @pytest.mark.parametrize("n_stages", [2, 4])
+    def test_decoder_staged_forward_and_grads(self, rng, n_stages):
+        """VERDICT r3 item 4: with num_decoder_layers divisible by the
+        stage count, BOTH transformer stacks run staged — forward
+        (including every aux layer, i.e. the full hs stack feeding the
+        aux losses) and gradients must equal the sequential model."""
+        from detr_tensorflow_tpu.models import DETR
+        from detr_tensorflow_tpu.ops.losses import detr_loss
+        from detr_tensorflow_tpu.parallel.pp import PipelineSpec
+
+        mesh = make_mesh(n_stages, axis_names=("stage",))
+        kw = dict(
+            num_classes=8, num_queries=6, model_dim=16, num_heads=2,
+            num_encoder_layers=4, num_decoder_layers=4,
+            dim_feedforward=32, backbone_stage_sizes=(1, 1, 1, 1),
+            dropout=0.0,
+        )
+        seq_model = DETR(**kw)
+        pp_model = DETR(**kw, pipeline=PipelineSpec(mesh=mesh))
+        x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+        variables = seq_model.init(jax.random.PRNGKey(0), x[:1])
+
+        out_seq = seq_model.apply(variables, x)
+        out_pp = jax.jit(lambda v, a: pp_model.apply(v, a))(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(out_pp["pred_logits"]),
+            np.asarray(out_seq["pred_logits"]), rtol=2e-5, atol=2e-5,
+        )
+        # Every aux layer — the staged decoder's hs buffer rows.
+        np.testing.assert_allclose(
+            np.asarray(out_pp["aux_boxes"]),
+            np.asarray(out_seq["aux_boxes"]), rtol=2e-5, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_pp["aux_logits"]),
+            np.asarray(out_seq["aux_logits"]), rtol=2e-5, atol=2e-5,
+        )
+
+        boxes = jnp.asarray(
+            np.clip(rng.uniform(0.2, 0.8, (4, 6, 4)), 0.05, 0.95)
+            .astype(np.float32)
+        )
+        classes = jnp.ones((4, 6), jnp.int32)
+        tmask = jnp.asarray(np.tile([True, True, False, False, False, False],
+                                    (4, 1)))
+        frozen = variables.get("frozen", {})
+
+        def loss(model):
+            def f(p):
+                out = model.apply({"params": p, "frozen": frozen}, x)
+                total, _ = detr_loss(out, boxes, classes, tmask, 7)
+                return total
+            return f
+
+        g_seq = jax.grad(loss(seq_model))(variables["params"])
+        g_pp = jax.jit(jax.grad(loss(pp_model)))(variables["params"])
+        flat_pp = {jax.tree_util.keystr(k): v
+                   for k, v in jax.tree_util.tree_leaves_with_path(g_pp)}
+        for k, v in jax.tree_util.tree_leaves_with_path(g_seq):
+            ks = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(flat_pp[ks]), np.asarray(v),
+                rtol=5e-4, atol=5e-5, err_msg=ks,
+            )
+
+    def test_trainer_1f1b_masks_routes_to_gpipe(self, rng):
+        """A masks model handed to the 1F1B Trainer mode must not raise:
+        it routes to the GPipe pipeline (same mesh, same param tree)
+        with a warning, and a train step runs."""
+        from detr_tensorflow_tpu.models import DETR
+        from detr_tensorflow_tpu.parallel.pp import PipelineSpec
+        from detr_tensorflow_tpu.train import Trainer, TrainingConfig
+
+        mesh = make_mesh(2, axis_names=("stage",))
+        model = DETR(
+            num_classes=8, num_queries=6, model_dim=16, num_heads=2,
+            num_encoder_layers=2, num_decoder_layers=2,
+            dim_feedforward=32, backbone_stage_sizes=(1, 1, 1, 1),
+            dropout=0.0, masks=True,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )
+        config = TrainingConfig(
+            background_class=7, train_backbone=True,
+            train_transformers=True, train_nlayers=True,
+            batch_size=4, target_batch=4, transformers_lr=1e-3,
+        )
+        spec = PipelineSpec(mesh=mesh)
+        with pytest.warns(UserWarning, match="GPipe"):
+            trainer = Trainer(model, variables, config,
+                              pipeline_1f1b=spec)
+        assert trainer._pp1f1b is None
+        assert trainer.model.pipeline is spec
+        batch = {
+            "images": np.asarray(rng.normal(size=(4, 32, 32, 3)),
+                                 np.float32),
+            "boxes": np.clip(rng.uniform(0.2, 0.8, (4, 6, 4)), 0.05,
+                             0.95).astype(np.float32),
+            "classes": np.ones((4, 6), np.int32),
+            "mask": np.tile([True, True, False, False, False, False],
+                            (4, 1)),
+            "t_masks": np.zeros((4, 6, 32, 32), np.float32),
+        }
+        log = trainer.step(batch)
+        assert np.isfinite(float(log["total_loss"]))
