@@ -18,10 +18,13 @@ Layout rules: torch Linear ``(out, in)`` -> flax ``(in, out)`` transpose;
 torch Conv ``OIHW`` -> flax ``HWIO`` transpose; BN statistics land in the
 ``frozen`` collection.
 
-Loading is file-based (``.pth`` / ``.npz``) — this build environment has
-no network egress, so unlike the reference there is no GCS download;
-point ``DETR_TPU_WEIGHTS`` or the ``weights_path`` argument at a local
-checkpoint instead.
+Loading is file-based (``.pth`` / ``.npz``) by default; point
+``DETR_TPU_WEIGHTS`` or the ``weights_path`` argument at a local
+checkpoint. ``download_weights`` / ``load_weights(download=True)`` add
+the reference's one-command acquisition (detr_tf/networks/weights.py:
+5-11 downloads from GCS): a checksum-gated fetch from the public
+facebook URLs that activates the moment the environment has egress and
+fails fast (with the manual-placement instructions) when it doesn't.
 """
 
 from __future__ import annotations
@@ -407,13 +410,102 @@ def load_variables_npz(path: str) -> Tree:
     return tree
 
 
-def load_weights(name_or_path: str = "detr", **convert_kwargs) -> Tree:
+# Public checkpoint registry (parity target: the reference's GCS
+# download table, detr_tf/networks/weights.py:5-11). Facebook's
+# published URLs embed the first 8 sha256 hex chars of the file in the
+# filename (the torch.hub convention), so integrity is verifiable from
+# the table alone: after download the file's sha256 must start with
+# ``sha256_prefix``.
+PRETRAINED_CHECKPOINTS = {
+    "detr-r50": {
+        "url": "https://dl.fbaipublicfiles.com/detr/detr-r50-e632da11.pth",
+        "sha256_prefix": "e632da11",
+    },
+    "detr-r101": {
+        "url": "https://dl.fbaipublicfiles.com/detr/detr-r101-2c7b67e5.pth",
+        "sha256_prefix": "2c7b67e5",
+    },
+}
+# The reference's short name "detr" is its R50 checkpoint.
+PRETRAINED_CHECKPOINTS["detr"] = PRETRAINED_CHECKPOINTS["detr-r50"]
+
+
+def verify_checksum(path: str, sha256_prefix: str) -> None:
+    """Raise ValueError unless the file's sha256 starts with the
+    registry prefix."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()
+    if not digest.startswith(sha256_prefix):
+        raise ValueError(
+            f"checksum mismatch for {path}: sha256={digest[:16]}… does "
+            f"not start with registry prefix {sha256_prefix} — corrupt "
+            "or tampered download; delete the file and retry"
+        )
+
+
+def download_weights(name: str = "detr", dest_dir: str = None,
+                     _urlopen=None) -> str:
+    """Fetch a registered pretrained checkpoint, checksum-gated.
+
+    Activates the moment the environment gains egress — until then it
+    fails fast with a clear message instead of hanging. Returns the
+    local path (skipping the download when a verified copy already
+    exists). ``_urlopen`` is injectable for tests.
+    """
+    if name not in PRETRAINED_CHECKPOINTS:
+        raise KeyError(
+            f"unknown checkpoint '{name}'; registered: "
+            f"{sorted(set(PRETRAINED_CHECKPOINTS))}"
+        )
+    entry = PRETRAINED_CHECKPOINTS[name]
+    dest_dir = dest_dir or os.environ.get("DETR_TPU_WEIGHTS") or \
+        WEIGHT_SEARCH_PATHS[0]
+    os.makedirs(dest_dir, exist_ok=True)
+    path = os.path.join(dest_dir, entry["url"].rsplit("/", 1)[-1])
+    if os.path.exists(path):
+        verify_checksum(path, entry["sha256_prefix"])
+        return path
+    if _urlopen is None:
+        from urllib.request import urlopen as _urlopen
+    tmp = path + ".part"
+    try:
+        with _urlopen(entry["url"], timeout=60) as resp, \
+                open(tmp, "wb") as out:
+            for chunk in iter(lambda: resp.read(1 << 20), b""):
+                out.write(chunk)
+    except OSError as e:  # URLError subclasses OSError
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise ConnectionError(
+            f"cannot download {entry['url']}: {e}. This environment "
+            "appears to have no network egress — place the checkpoint "
+            f"at {path} manually (any machine with egress can fetch "
+            "the URL) and re-run."
+        ) from e
+    try:
+        verify_checksum(tmp, entry["sha256_prefix"])
+    except ValueError:
+        os.remove(tmp)
+        raise
+    os.replace(tmp, path)
+    return path
+
+
+def load_weights(name_or_path: str = "detr", download: bool = False,
+                 **convert_kwargs) -> Tree:
     """Load DETR weights from a local file, converting torch formats.
 
     Accepts a direct path to a ``.npz`` (our native converted format) or
     ``.pth``/``.pt``/``.bin`` (torch state_dict, facebook or hf naming),
     or a short name (e.g. ``"detr"``) searched under ``weights/detr`` and
-    ``$DETR_TPU_WEIGHTS``.
+    ``$DETR_TPU_WEIGHTS``. With ``download=True`` a registered short
+    name with no local copy is fetched from its public URL
+    (checksum-gated; see ``download_weights``) — egress required.
     """
     candidates = []
     if os.path.exists(name_or_path):
@@ -423,6 +515,16 @@ def load_weights(name_or_path: str = "detr", **convert_kwargs) -> Tree:
         for d in filter(None, search):
             for ext in (".npz", ".pth", ".pt", ".bin"):
                 candidates.append(os.path.join(d, name_or_path + ext))
+        if name_or_path in PRETRAINED_CHECKPOINTS:
+            # The registry filename (e.g. detr-r50-e632da11.pth) under
+            # the same search dirs — a manually placed download.
+            fname = PRETRAINED_CHECKPOINTS[name_or_path]["url"].rsplit(
+                "/", 1)[-1]
+            for d in filter(None, search):
+                candidates.append(os.path.join(d, fname))
+    if download and not any(os.path.exists(p) for p in candidates) \
+            and name_or_path in PRETRAINED_CHECKPOINTS:
+        candidates.append(download_weights(name_or_path))
     for path in candidates:
         if not os.path.exists(path):
             continue

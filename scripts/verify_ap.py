@@ -16,6 +16,14 @@ Usage:
       --ann_file annotations/instances_val2017.json [--limit N]
       [--tolerance 0.5]
 
+or, on a machine WITH egress, one command end to end:
+
+  python scripts/verify_ap.py --download --data_dir /path/coco
+
+(--download resolves "detr" via the checksum-gated registry in
+models/weights.py:PRETRAINED_CHECKPOINTS and fails fast without
+egress.)
+
 Exit code 0 iff every threshold's box AP is within --tolerance points of
 the published table.
 """
@@ -37,8 +45,14 @@ REFERENCE_AP = {
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--weights", required=True,
-                        help=".pth/.bin torch checkpoint or converted .npz")
+    parser.add_argument("--weights", default="detr",
+                        help=".pth/.bin torch checkpoint, converted .npz, "
+                             "or a registry short name (detr, detr-r50, "
+                             "detr-r101)")
+    parser.add_argument("--download", action="store_true",
+                        help="fetch the registered checkpoint from its "
+                             "public URL when no local copy exists "
+                             "(checksum-gated; requires egress)")
     parser.add_argument("--data_dir", required=True)
     parser.add_argument("--img_dir", default="val2017")
     parser.add_argument("--ann_file",
@@ -61,7 +75,11 @@ def main():
         data=DataConfig(data_dir=args.data_dir, img_dir=args.img_dir,
                         ann_file=args.ann_file),
     )
-    model = get_detr_model(config, include_top=True, weights=args.weights)
+    weights = args.weights
+    if args.download:
+        from detr_tensorflow_tpu.models.weights import download_weights
+        weights = download_weights(args.weights)
+    model = get_detr_model(config, include_top=True, weights=weights)
     valid_dt, class_names = load_coco_dataset(
         config, 1, augmentation=None, shuffle=False,
         bucket_divisor=1 if args.exact_shapes else 128,
