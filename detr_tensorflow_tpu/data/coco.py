@@ -202,12 +202,25 @@ def load_coco_dataset(
         )
 
     ids = coco.getImgIds()
+    # Batched eval (augmentation=None, batch_size > 1): bucket batches
+    # by the padded image shape so every batch is one static shape, and
+    # pad the final partial batch of each bucket instead of dropping it
+    # — every val image is scored exactly once (batch_valid masks the
+    # padding). The AP math is per-image, so batched == batch-1
+    # (tests/test_end_to_end.py); padding invariance of the masked
+    # forward makes the bucketing itself exact.
+    eval_batched = augmentation is None and batch_size > 1
     dataset = HostDataset(
         ids, load_example, batch_size, shuffle=shuffle, seed=seed,
         num_workers=num_workers,
-        bucket_key=plan.bucket_key if plan else None,
+        bucket_key=(
+            plan.bucket_key if plan
+            else (lambda ex: ex["images"].shape) if eval_batched
+            else None
+        ),
         batch_transform=plan.batch_transform if plan else None,
         on_epoch_start=plan.set_epoch if plan else None,
+        pad_remainder=eval_batched,
     )
     dataset.background_class = background_class
     return dataset, class_names

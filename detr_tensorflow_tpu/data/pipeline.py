@@ -80,6 +80,12 @@ class HostDataset:
         (continuing across epochs). Used by multi-host multi-scale
         training to resize batch ``i`` to a host-agnostic rung schedule
         (data/multiscale.py).
+      pad_remainder: instead of dropping per-bucket remainders, pad the
+        final partial batch of each bucket to ``batch_size`` by
+        repeating its last example, and add a ``batch_valid`` (B,) bool
+        key to EVERY batch (False on padded slots). Keeps the batch dim
+        static for XLA while evaluating every example exactly once —
+        the batched-eval mode (eval.py --batch N).
     """
 
     def __init__(
@@ -95,6 +101,7 @@ class HostDataset:
         bucket_key: Callable = None,
         batch_transform: Callable = None,
         on_epoch_start: Callable = None,
+        pad_remainder: bool = False,
     ):
         self.indices = list(indices)
         self.load_fn = load_fn
@@ -106,6 +113,7 @@ class HostDataset:
         self.bucket_key = bucket_key
         self.batch_transform = batch_transform
         self.on_epoch_start = on_epoch_start
+        self.pad_remainder = pad_remainder
         self._emitted = 0  # lifetime batch counter for batch_transform
         self._epoch = 0
         self._rng = np.random.default_rng(seed)
@@ -182,6 +190,10 @@ class HostDataset:
                         bucket.append(ex)
                         if len(bucket) == self.batch_size:
                             batch = self.collate_fn(bucket)
+                            if self.pad_remainder:
+                                batch["batch_valid"] = np.ones(
+                                    self.batch_size, bool
+                                )
                             if self.batch_transform is not None:
                                 batch = self.batch_transform(
                                     batch, self._emitted
@@ -190,7 +202,30 @@ class HostDataset:
                             if not safe_put(batch):
                                 return
                             pending[key] = []
-                    # drop remainder per bucket (static batch shape)
+                    if self.pad_remainder:
+                        # Flush per-bucket remainders, padded to the
+                        # static batch size by repeating the last
+                        # example; batch_valid masks the padding out.
+                        for key, bucket in pending.items():
+                            n = len(bucket)
+                            if n == 0:
+                                continue
+                            padded = bucket + [bucket[-1]] * (
+                                self.batch_size - n
+                            )
+                            batch = self.collate_fn(padded)
+                            batch["batch_valid"] = (
+                                np.arange(self.batch_size) < n
+                            )
+                            if self.batch_transform is not None:
+                                batch = self.batch_transform(
+                                    batch, self._emitted
+                                )
+                                self._emitted += 1
+                            if not safe_put(batch):
+                                return
+                    # else: drop remainder per bucket (static shapes,
+                    # drop_remainder=True parity)
             except BaseException as e:  # noqa: BLE001 — relayed to consumer
                 error = e
             finally:

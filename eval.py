@@ -7,7 +7,11 @@ README.md:85-89, BASELINE.md).
 
 TPU-native differences: images are bucket-padded to static shapes with a
 pixel mask (bounded compile count instead of per-shape retraces), the
-forward is jitted, and the AP bookkeeping is the vectorized evaluator.
+forward is jitted, the AP bookkeeping is the vectorized evaluator, and
+``--batch N`` scores whole shape-bucketed batches per device program
+(identical AP to batch 1 — padding invariance is exact and the AP math
+is per-image; the 5000-image val set stops wasting ~an order of
+magnitude of chip throughput).
 With ``--masks`` the instance-segmentation head runs too and the mask AP
 row is real (the reference's is a zero placeholder, eval.py:54).
 
@@ -87,78 +91,94 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
             (boxes_, labels_, scores_, keep_), probs_, seg_ = run_nomask(
                 model.variables, batch["images"]
             )
-        keep0 = np.asarray(keep_[0])
-        p_bbox = np.asarray(boxes_[0])[keep0]
-        p_labels = np.asarray(labels_[0])[keep0]
-        p_scores = np.asarray(scores_[0])[keep0]
-        n = int(batch["mask"][0].sum())
-        t_yxyx = np.asarray(
-            bbox_ops.np_yxyx_to_xyxy(  # involutive: xyxy->yxyx
-                bbox_ops.np_xcycwh_to_xyxy(batch["boxes"][0][:n])
-            )
+        # Batched eval (eval.py --batch N): one device program scores
+        # the whole shape-bucketed batch; the per-image AP bookkeeping
+        # below loops host-side. batch_valid masks the repeat-padding
+        # of the final partial batch (data/pipeline.py pad_remainder).
+        bvalid = batch.get(
+            "batch_valid", np.ones(batch["images"].shape[0], bool)
         )
-        if "pixel_mask" in batch:
-            pm0 = np.asarray(batch["pixel_mask"][0])
-            orig_h = int(pm0[:, 0].sum())
-            orig_w = int(pm0[0, :].sum())
-        else:
-            orig_h, orig_w = batch["images"].shape[1:3]
-        p_masks = t_masks = None
-        gt_masks_full = None
-        use_full = mask_lattice == "full" and "t_masks_full" in batch
-        if probs_ is not None and "t_masks" in batch:
-            if use_full:
-                # COCO protocol: score at original image resolution.
-                # Only the kept (non-background) queries are upsampled —
-                # both AP and the panoptic merge ignore the rest, and
-                # the host-side bilinear over 100 full-res channels is
-                # the eval loop's dominant cost otherwise.
-                sel = np.nonzero(keep0)[0]
-                up = inference.upsample_mask_probs(
-                    np.asarray(probs_[0])[sel], (orig_h, orig_w)
-                )  # (H, W, n_kept)
-                p_masks = up > 0.5
-                gt_masks_full = (
-                    batch["t_masks_full"][0][:n, :orig_h, :orig_w] > 0
+        for bi in np.nonzero(bvalid)[0]:
+            keep0 = np.asarray(keep_[bi])
+            p_bbox = np.asarray(boxes_[bi])[keep0]
+            p_labels = np.asarray(labels_[bi])[keep0]
+            p_scores = np.asarray(scores_[bi])[keep0]
+            n = int(batch["mask"][bi].sum())
+            t_yxyx = np.asarray(
+                bbox_ops.np_yxyx_to_xyxy(  # involutive: xyxy->yxyx
+                    bbox_ops.np_xcycwh_to_xyxy(batch["boxes"][bi][:n])
                 )
-                t_masks = gt_masks_full.transpose(1, 2, 0)
-                if report_pq:
-                    seg_full = inference.np_merge_full_res(
-                        up, np.asarray(scores_[0])[sel],
-                        np.ones(len(sel), bool),
-                    ) if len(sel) else np.full(
-                        (orig_h, orig_w), -1, np.int32
-                    )
-                    pq_pred_maps.append(seg_full)
-                    pq_pred_labels.append(np.asarray(labels_[0])[sel])
-                    pq_gt_masks.append(gt_masks_full)
-                    pq_gt_classes.append(np.asarray(batch["classes"][0][:n]))
-                    pq_gt_crowd.append(
-                        np.asarray(batch["gt_is_crowd"][0])[:n]
-                        if "gt_is_crowd" in batch else None
-                    )
-                    pq_void.append(
-                        np.asarray(batch["void_mask"][0])[:orig_h, :orig_w]
-                        if "void_mask" in batch else None
-                    )
+            )
+            if "pixel_mask" in batch:
+                pm0 = np.asarray(batch["pixel_mask"][bi])
+                orig_h = int(pm0[:, 0].sum())
+                orig_w = int(pm0[0, :].sum())
             else:
-                # Prediction and target masks live on the identical
-                # padded stride-4 lattice (data/processing.py) — IoU
-                # needs no resize.
-                p_masks = np.asarray(probs_[0])[keep0].transpose(1, 2, 0) > 0.5
-                t_masks = batch["t_masks"][0][:n].transpose(1, 2, 0)
-        evaluator.add_image(
-            p_bbox, p_labels, p_scores, t_yxyx, batch["classes"][0][:n],
-            p_masks=p_masks, t_masks=t_masks,
-        )
-        if (report_pq and seg_ is not None and t_masks is not None
-                and not use_full):
-            pq_pred_maps.append(np.asarray(seg_[0]))
-            pq_pred_labels.append(np.asarray(labels_[0]))
-            pq_gt_masks.append(t_masks.transpose(2, 0, 1).astype(bool))
-            pq_gt_classes.append(np.asarray(batch["classes"][0][:n]))
-            pq_gt_crowd.append(None)
-            pq_void.append(None)
+                orig_h, orig_w = batch["images"].shape[1:3]
+            p_masks = t_masks = None
+            gt_masks_full = None
+            use_full = mask_lattice == "full" and "t_masks_full" in batch
+            if probs_ is not None and "t_masks" in batch:
+                if use_full:
+                    # COCO protocol: score at original image resolution.
+                    # Only the kept (non-background) queries are
+                    # upsampled — both AP and the panoptic merge ignore
+                    # the rest, and the host-side bilinear over 100
+                    # full-res channels is the eval loop's dominant
+                    # cost otherwise.
+                    sel = np.nonzero(keep0)[0]
+                    up = inference.upsample_mask_probs(
+                        np.asarray(probs_[bi])[sel], (orig_h, orig_w)
+                    )  # (H, W, n_kept)
+                    p_masks = up > 0.5
+                    gt_masks_full = (
+                        batch["t_masks_full"][bi][:n, :orig_h, :orig_w] > 0
+                    )
+                    t_masks = gt_masks_full.transpose(1, 2, 0)
+                    if report_pq:
+                        seg_full = inference.np_merge_full_res(
+                            up, np.asarray(scores_[bi])[sel],
+                            np.ones(len(sel), bool),
+                        ) if len(sel) else np.full(
+                            (orig_h, orig_w), -1, np.int32
+                        )
+                        pq_pred_maps.append(seg_full)
+                        pq_pred_labels.append(np.asarray(labels_[bi])[sel])
+                        pq_gt_masks.append(gt_masks_full)
+                        pq_gt_classes.append(
+                            np.asarray(batch["classes"][bi][:n])
+                        )
+                        pq_gt_crowd.append(
+                            np.asarray(batch["gt_is_crowd"][bi])[:n]
+                            if "gt_is_crowd" in batch else None
+                        )
+                        pq_void.append(
+                            np.asarray(batch["void_mask"][bi])
+                            [:orig_h, :orig_w]
+                            if "void_mask" in batch else None
+                        )
+                else:
+                    # Prediction and target masks live on the identical
+                    # padded stride-4 lattice (data/processing.py) — IoU
+                    # needs no resize.
+                    p_masks = (
+                        np.asarray(probs_[bi])[keep0].transpose(1, 2, 0)
+                        > 0.5
+                    )
+                    t_masks = batch["t_masks"][bi][:n].transpose(1, 2, 0)
+            evaluator.add_image(
+                p_bbox, p_labels, p_scores, t_yxyx,
+                batch["classes"][bi][:n],
+                p_masks=p_masks, t_masks=t_masks,
+            )
+            if (report_pq and seg_ is not None and t_masks is not None
+                    and not use_full):
+                pq_pred_maps.append(np.asarray(seg_[bi]))
+                pq_pred_labels.append(np.asarray(labels_[bi]))
+                pq_gt_masks.append(t_masks.transpose(2, 0, 1).astype(bool))
+                pq_gt_classes.append(np.asarray(batch["classes"][bi][:n]))
+                pq_gt_crowd.append(None)
+                pq_void.append(None)
         print(f"Computing map.....{it}", end="\r")
     table = evaluator.print_table()
     if report_pq and pq_pred_maps:
@@ -185,6 +205,16 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
 
 if __name__ == "__main__":
     parser = training_config_parser()
+    parser.add_argument(
+        "--batch", type=int, default=1,
+        help="evaluation batch size. 1 (default) is the reference's "
+             "protocol (eval.py:41-58); N>1 groups val images by "
+             "padding bucket and scores each static-shape batch in one "
+             "device program — identical AP (the masked forward is "
+             "exactly padding-invariant and the AP math is per-image), "
+             "~Nx the chip throughput. Incompatible with "
+             "--exact_shapes.",
+    )
     parser.add_argument(
         "--exact_shapes", action="store_true",
         help="compile per exact image shape instead of bucket-padding — "
@@ -232,6 +262,12 @@ if __name__ == "__main__":
              "(AP 36.53).",
     )
     args = parser.parse_args()
+    if args.batch > 1 and args.exact_shapes:
+        parser.error("--batch N>1 requires bucket padding; drop "
+                     "--exact_shapes")
+    if args.batch > 1 and args.panoptic_ann and args.pq:
+        parser.error("panoptic eval is batch-1 (ragged full-res ground "
+                     "truth); drop --batch")
     config = TrainingConfig().update_from_args(args)
 
     detr = build_model(config, masks=args.masks)
@@ -240,14 +276,14 @@ if __name__ == "__main__":
         from detr_tensorflow_tpu.data.panoptic import load_coco_panoptic
 
         valid_dt, class_names = load_coco_panoptic(
-            config, 1, ann_file=args.panoptic_ann,
+            config, args.batch, ann_file=args.panoptic_ann,
             png_dir=args.panoptic_png_dir,
             bucket_divisor=1 if args.exact_shapes else 128,
         )
         stuff_classes = valid_dt.stuff_classes
     else:
         valid_dt, class_names = load_coco_dataset(
-            config, 1, augmentation=None,
+            config, args.batch, augmentation=None,
             bucket_divisor=1 if args.exact_shapes else 128,
             include_masks=args.masks,
             paper_protocol=(800, 1333) if args.paper_protocol else None,

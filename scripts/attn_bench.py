@@ -6,10 +6,13 @@ Usage: python scripts/attn_bench.py [--full]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, *args, iters=10, warmup=2):
@@ -28,6 +31,11 @@ def timeit(fn, *args, iters=10, warmup=2):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--size", type=int, nargs=2, default=(800, 1344),
+                        help="input H W (default: the eval bucket)")
+    parser.add_argument("--rounds", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args()
 
     import jax
@@ -41,15 +49,30 @@ def main():
     if args.full:
         from detr_tensorflow_tpu.models import DETR
 
+        # Relay health: a 4096^2 bf16 matmul should be ~1-10 ms; a
+        # degraded relay invalidates absolute numbers (A/B within one
+        # process stays valid — samples are interleaved below).
+        a = jnp.asarray(rng.normal(size=(4096, 4096)), jnp.bfloat16)
+        mm = jax.jit(lambda a: (a @ a).sum())
+        float(mm(a))
+        t0 = time.time()
+        float(mm(a))
+        print(f"relay_health: {1e3 * (time.time() - t0):.1f} ms",
+              file=sys.stderr)
+
+        h, w = args.size
         images = jnp.asarray(
-            rng.normal(size=(32, 800, 1344, 3)), jnp.bfloat16
+            rng.normal(size=(args.batch, h, w, 3)), jnp.bfloat16
         )
-        for impl in ("xla", "pallas"):
+        variables = None
+        fns = {}
+        for impl in ("xla", "pallas", "auto"):
             model = DETR(num_classes=92, dropout=0.0, dtype=jnp.bfloat16,
                          attn_impl=impl)
-            variables = model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
-            )
+            if variables is None:
+                variables = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+                )
 
             @jax.jit
             def fwd(v, x, model=model):
@@ -58,9 +81,20 @@ def main():
 
             t0 = time.time()
             float(fwd(variables, images))
-            print(f"{impl}: compile+first {time.time() - t0:.1f}s", file=sys.stderr)
-            t = timeit(fwd, variables, images)
-            print(f"full fwd [{impl}]: {t * 1e3:.1f} ms -> {32 / t:.1f} img/s")
+            print(f"{impl}: compile+first {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            fns[impl] = fwd
+
+        # Interleave rounds so every impl sees the same relay regime;
+        # report the best round per impl (relay noise only ADDS time).
+        best = {k: float("inf") for k in fns}
+        for _ in range(args.rounds):
+            for impl, fwd in fns.items():
+                t = timeit(fwd, variables, images, iters=args.iters)
+                best[impl] = min(best[impl], t)
+        for impl, t in best.items():
+            print(f"full fwd [{impl}] b={args.batch} {h}x{w}: "
+                  f"{t * 1e3:.1f} ms -> {args.batch / t:.1f} img/s")
         return
 
     from detr_tensorflow_tpu.ops.pallas import flash_attention

@@ -344,3 +344,50 @@ class TestFusedBottleneck:
             np.asarray(out_f["pred_boxes"]), np.asarray(out_x["pred_boxes"]),
             atol=2e-3, rtol=1e-3,
         )
+
+
+class TestAutoDispatch:
+    """attn_impl="auto" (VERDICT r3 item 5): shape-dispatched flash
+    kernel — pallas exactly when the key length crosses the threshold
+    on a TPU backend, XLA everywhere else, so parity and CPU tests are
+    untouched by flipping a model to auto."""
+
+    def test_resolution_logic(self, monkeypatch):
+        from detr_tensorflow_tpu.models import transformer as T
+
+        # Explicit impls pass through regardless of shape.
+        assert T.resolve_attn_impl("xla", 4096) == "xla"
+        assert T.resolve_attn_impl("pallas", 8) == "pallas"
+        # Short keys / weight requests resolve to xla before any
+        # backend check.
+        assert T.resolve_attn_impl("auto", 100) == "xla"
+        assert T.resolve_attn_impl(
+            "auto", 2048, return_weights=True) == "xla"
+        # Long keys: backend decides.
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert T.resolve_attn_impl("auto", T.AUTO_PALLAS_MIN_KEYS) == \
+            "pallas"
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert T.resolve_attn_impl("auto", 4096) == "xla"
+
+    def test_auto_model_equals_xla_off_tpu(self, rng):
+        """On the CPU suite, an auto model IS the xla model bit for bit
+        (the dispatch resolves at trace time, no runtime branch)."""
+        import jax
+        import jax.numpy as jnp
+
+        from detr_tensorflow_tpu.models.transformer import Transformer
+
+        kw = dict(model_dim=32, num_heads=4, num_encoder_layers=2,
+                  num_decoder_layers=2, dim_feedforward=64, dropout=0.0)
+        x = jnp.asarray(rng.normal(size=(2, 600, 32)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(2, 600, 32)).astype(np.float32))
+        qe = jnp.asarray(rng.normal(size=(6, 32)).astype(np.float32))
+        m_auto = Transformer(attn_impl="auto", **kw)
+        m_xla = Transformer(attn_impl="xla", **kw)
+        v = m_xla.init(jax.random.PRNGKey(0), x, pos, qe)
+        hs_a, _ = m_auto.apply(v, x, pos, qe)
+        hs_x, _ = m_xla.apply(v, x, pos, qe)
+        np.testing.assert_array_equal(np.asarray(hs_a), np.asarray(hs_x))

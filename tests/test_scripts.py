@@ -277,3 +277,78 @@ def test_mask_finetune_and_eval_flow(coco_root_seg):
     )
     assert np.isclose(table2["box"]["all"], table["box"]["all"])
     assert "pq" in table2
+
+
+def test_eval_batched_equals_batch1(tmp_path, rng):
+    """eval.py --batch N (VERDICT r3 item 6): shape-bucketed batched
+    eval scores every image exactly once and produces the identical AP
+    table to the batch-1 protocol — two padding buckets, one of them
+    with a repeat-padded remainder batch (batch_valid masking)."""
+    import importlib
+    import json as _json
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    eval_mod = importlib.import_module("eval")
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    ann_id = 0
+    # Two size groups -> two padding buckets at divisor 64; the first
+    # group has 3 images so --batch 2 leaves a padded remainder.
+    sizes = [(70, 90), (70, 90), (70, 90), (40, 50), (40, 50)]
+    for i, (h, w) in enumerate(sizes):
+        img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"i{i}.png"), img)
+        images.append({"id": i, "file_name": f"i{i}.png",
+                       "height": h, "width": w})
+        for _ in range(2):
+            annotations.append({
+                "id": ann_id, "image_id": i,
+                "category_id": int(rng.integers(1, 3)),
+                "bbox": [5.0, 5.0, 20.0, 20.0], "iscrowd": 0,
+            })
+            ann_id += 1
+    (tmp_path / "ann.json").write_text(_json.dumps({
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+    }))
+
+    config = TrainingConfig(
+        data=DataConfig(data_dir=str(tmp_path), img_dir="images",
+                        ann_file="ann.json"),
+    )
+    module = DETR(
+        num_classes=4, num_queries=6, model_dim=16, num_heads=2,
+        num_encoder_layers=1, num_decoder_layers=1, dim_feedforward=32,
+        dropout=0.0, backbone_stage_sizes=(1, 1, 1, 1),
+    )
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    model = DetrModel(module, variables)
+
+    tables = {}
+    for bs in (1, 2):
+        valid_dt, class_names = load_coco_dataset(
+            config, bs, augmentation=None, bucket_divisor=64,
+            shuffle=False, num_workers=1,
+        )
+        cfg = config.replace(background_class=valid_dt.background_class)
+        # Batched mode groups by bucket and pads the remainder.
+        seen = list(valid_dt)
+        if bs == 2:
+            assert all(b["images"].shape[0] == 2 for b in seen)
+            assert sum(b["batch_valid"].sum() for b in seen) == len(sizes)
+            assert any(not b["batch_valid"].all() for b in seen)
+        tables[bs] = eval_mod.eval_model(
+            model, cfg, class_names,
+            seen,  # the materialized epoch — same images both modes
+        )
+    for key in tables[1]["box"]:
+        np.testing.assert_allclose(
+            tables[2]["box"][key], tables[1]["box"][key], atol=1e-9,
+            err_msg=f"AP[{key}] batched != batch-1",
+        )
