@@ -81,6 +81,27 @@ def export_predictor(
     — same choice as ``Predictor.warmup``).
     """
     os.makedirs(path, exist_ok=True)
+    module = predictor.model.module
+    if "cpu" in platforms and \
+            getattr(module, "attn_impl", "xla") != "xla":
+        # Pallas Mosaic kernels lower for TPU only; a multi-platform
+        # artifact must stage out everywhere. Rebuild the programs on
+        # the XLA attention path — identical math (the auto dispatch is
+        # a pure perf choice, tests/test_pallas_attention.py).
+        from .predictor import Predictor as _P
+
+        model = type(predictor.model)(
+            module.clone(attn_impl="xla"), predictor.model.variables,
+            getattr(predictor.model, "normalized_method", "torch_resnet"),
+        )
+        predictor = _P(
+            model, predictor.background_class,
+            bucket_divisor=predictor.bucket_divisor,
+            score_threshold=predictor.score_threshold,
+            bbox_format=predictor.bbox_format,
+            masks=predictor.masks,
+            mask_threshold=predictor.mask_threshold,
+        )
     variables = _plain(predictor.model.variables)
     d = predictor.bucket_divisor
     buckets = sorted({

@@ -95,7 +95,7 @@ def build_detr(
     backbone_stage_sizes=None,
     dilation: bool = False,
     dtype: str = "float32",
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
     weights: Optional[str] = None,
     backbone_weights: Optional[str] = None,
     image_size=(376, 672),
@@ -202,7 +202,7 @@ def get_detr_model(
         getattr(config, "image_size", (376, 672)) if config is not None else (376, 672),
     )
     kwargs.setdefault("dtype", getattr(config, "compute_dtype", "float32"))
-    kwargs.setdefault("attn_impl", getattr(config, "attn_impl", "xla"))
+    kwargs.setdefault("attn_impl", getattr(config, "attn_impl", "auto"))
     kwargs.setdefault("num_queries", getattr(config, "num_queries", 100))
     kwargs.setdefault(
         "backbone_weights", getattr(config, "backbone_weights", None)

@@ -57,7 +57,10 @@ class DETR(nn.Module):
     head: str = "detr"
     nb_class: Optional[int] = None  # for head == "finetune"
     dtype: Dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"  # shape-dispatched flash attention: the
+    # Pallas kernel at >=1024-key call sites on TPU (where it measures
+    # faster full-model), XLA everywhere else — see
+    # models/transformer.py:resolve_attn_impl. "xla"/"pallas" force.
     remat: bool = False  # rematerialize transformer layers (memory saver)
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
     fuse_bottleneck: bool = False  # Pallas whole-block bottleneck fusion

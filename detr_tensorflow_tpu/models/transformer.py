@@ -33,13 +33,20 @@ _NEG_INF = -1e9
 # attn_impl="auto": dispatch to the Pallas flash kernel when the KEY
 # sequence is at least this long (and the backend is TPU). The kernel's
 # win is loading K/V once into VMEM and never materializing the (Lq,Lk)
-# score matrix in HBM — measured 12-20% faster than XLA at Lk≈1050
-# (encoder self-attn and decoder cross-attn at the 800×1344 eval size,
-# docs/performance.md) and a wash-to-loss at short Lk (decoder
-# self-attn, Lk=100, where XLA's fused softmax is already optimal and
-# the kernel pads Lk up to 128). 512 keeps every sub-threshold rung on
-# XLA where the two paths measure equal.
-AUTO_PALLAS_MIN_KEYS = 512
+# score matrix in HBM. Full-model A/B on the chip (scripts/attn_bench.py
+# --full, interleaved best-of-3, r4):
+#
+#   size (keys)      xla        pallas     auto
+#   608×896  (532)   47.1 ms    52.0 ms    51.1 ms  -> xla wins
+#   736×1120 (805)   73.5 ms    77.2 ms    76.4 ms  -> xla wins
+#   800×1344 (1050)  101.2 ms   100.5 ms   100.0 ms -> kernel wins
+#
+# The crossover sits between 805 and 1050 keys: below it XLA's fused
+# softmax+matmul is already bandwidth-optimal and the kernel's 128-pad
+# overhead dominates; at the 800×1344 eval bucket the (L×L) score
+# matrix stops fitting the fusion and the kernel's VMEM residency wins.
+# 1024 routes exactly the measured-win region to the kernel.
+AUTO_PALLAS_MIN_KEYS = 1024
 
 
 def resolve_attn_impl(attn_impl: str, lk: int,

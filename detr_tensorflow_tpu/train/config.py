@@ -96,7 +96,10 @@ class TrainingConfig:
 
     # TPU-native knobs
     compute_dtype: str = "float32"  # "bfloat16" for max MXU throughput
-    attn_impl: str = "xla"  # "pallas" to use the flash-attention kernel
+    attn_impl: str = "auto"  # shape-dispatched flash attention (the
+    # Pallas kernel where it measures faster — long-key call sites on
+    # TPU; models/transformer.py:resolve_attn_impl); "xla"/"pallas"
+    # force one path everywhere
     # LAP solver for Hungarian matching: "pallas" fuses all per-layer
     # matchings into one Mosaic program (ops/pallas/lap.py); "xla" is
     # the vmapped while-loop solver. Same exact assignments either way.
@@ -183,7 +186,8 @@ def training_config_parser() -> argparse.ArgumentParser:
     # TPU-native
     p.add_argument("--compute_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
-    p.add_argument("--attn_impl", type=str, default=None, choices=["xla", "pallas"])
+    p.add_argument("--attn_impl", type=str, default=None,
+                   choices=["auto", "xla", "pallas"])
     p.add_argument("--lap_impl", type=str, default=None, choices=["xla", "pallas"],
                    help="Hungarian-matching LAP solver (pallas = fused kernel)")
     p.add_argument("--backbone_depth", type=int, default=None, choices=[50, 101],
