@@ -49,14 +49,31 @@ def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
     magnitude fewer device-serialized loop steps than solving the padded
     square problem.
 
-    A vectorized JV row-reduction pre-pass shrinks the serial section
-    further: duals start at u[i] = min_j cost[i, j], and every row whose
-    argmin column is claimed by no lower row is assigned outright in one
-    vector step (the assignment satisfies complementary slackness, so
-    augmenting the leftovers from this state is still exact). Only rows
-    whose argmin *collides* go through the serial Dijkstra — for DETR
-    cost matrices (a handful of targets choosing among 100 queries)
-    that is typically 0-2 rows per problem instead of all of them.
+    A vectorized auction pre-pass (JV's "augmenting row reduction" run
+    as fixed lock-step rounds) shrinks the serial section further: each
+    round, every unassigned real row bids on its reduced-cost argmin
+    column at dual u[i] = second-min (so the claimed pair is tight and
+    every other column keeps nonnegative reduced cost), the lowest
+    bidding row wins each contested column and evicts its previous
+    owner, and v decreases *only on claimed columns*. After K rounds
+    (K static, default 3) whatever rows remain unassigned walk the
+    serial Dijkstra from the auction's (u, v, matching) state — which
+    satisfies the JV invariants (dual feasibility, tight matched
+    pairs, v = 0 on free columns), so the result is still the exact
+    optimum. For DETR cost matrices (a handful of targets choosing
+    among 100 queries) the auction leaves ~0 rows for the serial
+    phase, vs 3-4 per 56-problem train batch for a plain
+    row-reduction pre-pass (and the vmapped while_loop pays the batch
+    max).
+
+    Why not classic JV *column reduction* (v[j] = min_i cost[i, j])?
+    It is structurally square-only: in this rectangular problem most
+    query columns end the solve unmatched, and LP complementary
+    slackness for the <=1 column constraints requires v = 0 on every
+    unmatched column. Initializing v nonzero on columns that finish
+    free silently breaks optimality (measured: 297/300 random
+    instances suboptimal). The auction respects this by construction —
+    it only ever moves v on columns it matches.
 
     Args:
       cost: (R, C) float cost matrix, R <= C, finite everywhere.
@@ -149,36 +166,97 @@ def solve_lap_masked(cost: Array, row_mask: Array) -> Array:
     # under vmap it is the max across the batch — not the 100 slots.
     # (A fori+cond formulation would evaluate the skipped branch for
     # every padded row under vmap.)
-    # --- JV row-reduction pre-pass (vectorized, zero serial steps) ---
-    # u[i] = row minimum (dual-feasible: cost - u - v >= 0 with v = 0);
-    # a row whose argmin column no lower real row also wants is matched
-    # to it immediately (cost[i, jmin] - u[i] - v[jmin] = 0, so the
-    # pair satisfies complementary slackness and the subsequent
-    # augmenting-path phase stays exact). Ties: argmin takes the lowest
-    # column, the lowest row wins a contested column — identical to the
-    # Pallas kernel's pre-pass (ops/pallas/lap.py).
-    # (All of this is small dense elementwise/reduction work — no sorts
-    # and no scatters, which XLA:TPU lowers poorly at these sizes.)
+    # --- Vectorized auction pre-pass (JV augmenting row reduction as
+    # K static lock-step rounds; see the docstring for the invariant
+    # argument and for why column reduction is NOT sound here) ---
+    # Per round, each unassigned real row bids on its reduced-cost
+    # argmin column; the lowest bidding row wins a contested column,
+    # evicting its previous owner; the winner's dual becomes its
+    # second-min (tight at the claimed column, feasible everywhere
+    # else) and the column's v absorbs the slack. Ties: argmin takes
+    # the lowest column, the lowest row wins a contested column. (The
+    # parked Pallas kernel, ops/pallas/lap.py, keeps the simpler
+    # row-reduction pre-pass: both solvers are exact, so they can only
+    # differ on problems with multiple optima.)
+    # (All of this is small dense elementwise/reduction work — no
+    # sorts and no scatters, which XLA:TPU lowers poorly at these
+    # sizes.)
     rows_idx = jnp.arange(r, dtype=jnp.int32)
-    rowmin = jnp.min(cost, axis=1)           # (r,)
-    jmin = jnp.argmin(cost, axis=1).astype(jnp.int32)  # (r,)
-    onehot = jmin[:, None] == jnp.arange(c, dtype=jnp.int32)[None, :]
-    claim = jnp.logical_and(onehot, row_mask[:, None])  # (r, c)
-    winner = jnp.min(
-        jnp.where(claim, rows_idx[:, None], r), axis=0
-    )                                        # (c,), r = unclaimed
-    winner_of_row = jnp.min(
-        jnp.where(onehot, winner[None, :], r), axis=1
-    )                                        # = winner[jmin[i]]
-    assigned = jnp.logical_and(row_mask, winner_of_row == rows_idx)
+    cols_idx = jnp.arange(c, dtype=jnp.int32)
+
+    def auction_round(state):
+        u, v, owner = state  # (r,), (c,), (c,) int32 with r = free
+        is_assigned = jnp.min(
+            jnp.where(owner[None, :] == rows_idx[:, None], cols_idx[None, :], c),
+            axis=1,
+        ) < c                                   # (r,) row owns some column
+        bidder = jnp.logical_and(row_mask, ~is_assigned)
+
+        red = cost - v[None, :]                 # (r, c)
+        min1 = jnp.min(red, axis=1)             # (r,)
+        j1 = jnp.argmin(red, axis=1).astype(jnp.int32)
+        onehot = j1[:, None] == cols_idx[None, :]
+        min2 = jnp.min(jnp.where(onehot, _INF, red), axis=1)
+        min2 = jnp.where(min2 < _INF / 2, min2, min1)  # c == 1: no 2nd col
+
+        bid_on = jnp.logical_and(onehot, bidder[:, None])   # (r, c)
+        win_row = jnp.min(
+            jnp.where(bid_on, rows_idx[:, None], r), axis=0
+        )                                       # (c,), r = no bid
+        has_bid = win_row < r
+        won = jnp.logical_and(
+            bidder,
+            jnp.min(jnp.where(onehot, win_row[None, :], r), axis=1)
+            == rows_idx,
+        )                                       # row i won its bid
+
+        # Winners take the second-min dual; losing bidders still raise
+        # their dual to min1 (cost - min1 - v >= 0 now, and v only ever
+        # decreases, so it stays feasible) — without this, a row that
+        # never wins would reach the Dijkstra with its initial u = 0,
+        # infeasible whenever its costs are negative.
+        u = jnp.where(won, min2, jnp.where(bidder, min1, u))
+        # v[j] = cost[w, j] - u[w] for the winning row w of column j
+        # (dense min-select; v only ever decreases: min1 <= min2).
+        v_new = jnp.min(
+            jnp.where(
+                jnp.logical_and(bid_on, won[:, None]),
+                cost - u[:, None], _INF,
+            ),
+            axis=0,
+        )
+        v = jnp.where(has_bid, v_new, v)
+        owner = jnp.where(has_bid, win_row, owner)
+        return u, v, owner
+
+    # Round 1 is the plain row-reduction pre-pass with stronger duals;
+    # rounds 2..K re-bid the evicted/outbid rows against the updated v.
+    # K static and tiny: each round is a handful of dense (r, c) ops.
+    state = (
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        jnp.full((c,), r, jnp.int32),
+    )
+    # K = 5 measured as the convergence point on the DETR train
+    # workload (56 problems, 8 targets, 100 queries): leftovers for the
+    # serial phase drop 3.0 (K=1) -> 1.25 (3) -> 0.25 (5) mean
+    # max-over-batch, flat beyond (a rare eviction cycle that genuinely
+    # needs the Dijkstra).
+    for _ in range(5):
+        state = auction_round(state)
+    u_a, v_a, owner = state
+    assigned = jnp.min(
+        jnp.where(owner[None, :] == rows_idx[:, None], cols_idx[None, :], c),
+        axis=1,
+    ) < c
 
     u0 = jnp.concatenate(
-        [jnp.zeros((1,), jnp.float32), jnp.where(row_mask, rowmin, 0.0)]
+        [jnp.zeros((1,), jnp.float32), jnp.where(row_mask, u_a, 0.0)]
     )
-    v0 = jnp.zeros((c + 1,), jnp.float32)
+    v0 = jnp.concatenate([jnp.zeros((1,), jnp.float32), v_a])
     p0 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
-         jnp.where(winner < r, winner + 1, 0)]
+         jnp.where(owner < r, owner + 1, 0)]
     )
 
     # Serial phase: only the rows whose argmin collided. Pack them to

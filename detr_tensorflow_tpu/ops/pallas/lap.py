@@ -15,8 +15,10 @@ step per (aux layer x batch) problem. Per-iteration work compiles to a
 few VPU ops on (1, 128) vector registers, so the serial section costs
 nanoseconds per step instead of microseconds.
 
-Formulation (exact JV, same augmenting-path order as matcher.py, so the
-assignments are bit-identical):
+Formulation (exact JV; matcher.py since round 4 adds an auction
+pre-pass, so the two solvers agree bit-for-bit exactly when the optimum
+is unique — always, for continuous costs — and may pick different
+equal-cost optima on tied problems):
 
   * All column state -- potentials ``v``, matched row ``p``, Dijkstra
     distances ``minv``, predecessor ``way``, visited set ``used`` --
@@ -101,11 +103,13 @@ def _lap_kernel(
         return jnp.sum(jnp.where(lanes == j, vec, 0))
 
     # --- JV row-reduction pre-pass (one 2-D vector step, no loop) ---
-    # Mirrors matcher.py exactly: u[i] = row minimum, every real row
-    # whose argmin column no lower row also wants is matched outright;
-    # only collided rows go through the serial Dijkstra below. Ties
-    # break to the lowest column / lowest row, like the XLA solver, so
-    # assignments stay bit-identical across impls.
+    # u[i] = row minimum, every real row whose argmin column no lower
+    # row also wants is matched outright; only collided rows go through
+    # the serial Dijkstra below. Ties break to the lowest column /
+    # lowest row. (matcher.py upgraded its pre-pass to a multi-round
+    # auction in round 4; this kernel is parked — measured slower, see
+    # module docstring — so it keeps the simpler form. Both are exact:
+    # identical assignments whenever the optimum is unique.)
     c2 = cost_ref[0]  # (rows_pad, 128), rows/cols 1-indexed
     rows_pad = c2.shape[0]
     lanes2 = lax.broadcasted_iota(jnp.int32, c2.shape, 1)

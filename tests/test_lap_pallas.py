@@ -1,8 +1,10 @@
 """Fused Pallas LAP kernel vs the XLA solver and scipy.
 
-The kernel (ops/pallas/lap.py) must produce *identical* assignments to
-ops/matcher.py's while-loop JV solver (same algorithm, same
-augmenting-path order) and scipy-optimal total cost.
+The kernel (ops/pallas/lap.py) must produce scipy-optimal total cost,
+and — since both solvers are exact — assignments identical to
+ops/matcher.py's while-loop JV solver whenever the optimum is unique
+(always, for the continuous random costs used below; on tied problems
+the two may legitimately pick different equal-cost optima).
 """
 
 import numpy as np

@@ -151,3 +151,39 @@ def test_solve_lap_masked_all_masked():
     cost = jnp.zeros((5, 8))
     col = np.asarray(matcher.solve_lap_masked(cost, jnp.zeros((5,), bool)))
     assert (col == -1).all()
+
+
+def test_solve_lap_auction_worst_case_collisions(rng):
+    """Adversarial inputs for the auction pre-pass: every row shares the
+    same argmin column (max collisions), duplicate rows (eviction
+    cycles with zero bid increments), and negative costs (the losers'
+    dual update must keep feasibility) — optimum must still match
+    scipy."""
+    solve = jax.jit(matcher.solve_lap_masked)
+    # all rows prefer column 0 strongly
+    cost = rng.normal(size=(8, 12)).astype(np.float32)
+    cost[:, 0] -= 100.0
+    col = np.asarray(solve(jnp.asarray(cost), jnp.ones((8,), bool)))
+    r, c = linear_sum_assignment(cost)
+    np.testing.assert_allclose(
+        cost[np.arange(8), col].sum(), cost[r, c].sum(), rtol=1e-5, atol=1e-4
+    )
+    # duplicate rows: many equal-cost optima, zero auction increments
+    base = rng.normal(size=(1, 10)).astype(np.float32)
+    cost = np.repeat(base, 6, axis=0)
+    col = np.asarray(solve(jnp.asarray(cost), jnp.ones((6,), bool)))
+    assert len(set(col.tolist())) == 6
+    r, c = linear_sum_assignment(cost)
+    np.testing.assert_allclose(
+        cost[np.arange(6), col].sum(), cost[r, c].sum(), rtol=1e-5, atol=1e-5
+    )
+    # strictly negative costs with a masked suffix
+    cost = (-np.abs(rng.normal(size=(9, 14))) - 1.0).astype(np.float32)
+    mask = np.array([True] * 5 + [False] * 4)
+    col = np.asarray(solve(jnp.asarray(cost), jnp.asarray(mask)))
+    r, c = linear_sum_assignment(cost[:5])
+    np.testing.assert_allclose(
+        cost[np.arange(5), col[:5]].sum(), cost[r, c].sum(),
+        rtol=1e-5, atol=1e-4,
+    )
+    assert (col[5:] == -1).all()
