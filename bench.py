@@ -316,16 +316,14 @@ def bench_train(on_tpu: bool):
     # the relay's upload latency (~340 ms for 24 MB through the tunnel).
     batch_data = jax.device_put(batch_data)
 
-    # AOT lower/compile the train step so the SAME executable serves the
-    # timing loop and the cost analysis (no double compile).
+    # AOT-compile via the Trainer's shipped path (auto input layouts)
+    # so the SAME executable serves the timing loop and the cost
+    # analysis, and the metric reflects what Trainer.step runs.
     t0 = time.time()
-    lowered = trainer.train_step.lower(
-        trainer.state, batch_data, trainer._lrs
-    )
-    t_lower = time.time() - t0
-    t1 = time.time()
-    compiled = lowered.compile()
-    t_compile = time.time() - t1
+    compiled, put_batch = trainer.aot_compiled(batch_data)
+    batch_data = put_batch(batch_data)
+    jax.block_until_ready(batch_data)
+    t_lower, t_compile = 0.0, time.time() - t0
 
     # trainer.train_step donates the state; drive the AOT executable
     # directly and thread the state through by hand.
@@ -412,9 +410,8 @@ def bench_train_batch_scaling(on_tpu: bool, batches=(16, 32)):
                     np.int32),
                 "mask": np.tile([True] * 8 + [False] * (n_t - 8), (batch, 1)),
             })
-            compiled = trainer.train_step.lower(
-                trainer.state, batch_data, trainer._lrs
-            ).compile()
+            compiled, put_batch = trainer.aot_compiled(batch_data)
+            batch_data = put_batch(batch_data)
             holder = {"state": trainer.state}
 
             def step_once():

@@ -104,6 +104,12 @@ class TrainingConfig:
     # matchings into one Mosaic program (ops/pallas/lap.py); "xla" is
     # the vmapped while-loop solver. Same exact assignments either way.
     lap_impl: str = "xla"
+    # Single-chip trainers AOT-compile the step with compiler-chosen
+    # (AUTO) layouts for the data batch and feed batches pre-laid-out,
+    # deleting the in-step input relayout copy (train/engine.py,
+    # docs/performance.md round 4). Harmless no-op on backends without
+    # layout support (graceful fallback).
+    auto_input_layout: bool = True
     num_queries: int = 100
     data_parallel: int = 1  # devices along the mesh's data axis
     checkpoint_dir: Optional[str] = None

@@ -90,12 +90,15 @@ def make_train_step(
     tx: optax.GradientTransformation,
     config,
     mesh=None,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step: (state, batch, lrs) -> (state, log).
 
     batch: {'images': (B,H,W,3), 'boxes': (B,T,4), 'classes': (B,T),
             'mask': (B,T)} — native fixed-slot target layout.
     lrs: {'backbone','transformers','nlayers'} scalar f32 arrays.
+    jit=False returns the raw python step function (the Trainer's
+    auto-input-layout path re-jits it with AUTO in_shardings).
     """
     background_class = int(config.background_class)
     lap_impl = getattr(config, "lap_impl", "xla")
@@ -124,6 +127,8 @@ def make_train_step(
         log["total_loss"] = total
         return _optimizer_tail(state, grads, tx, lrs, log)
 
+    if not jit:
+        return step_fn
     if mesh is not None and _has_model_axis(mesh):
         # Tensor-parallel (+ optional data-parallel): the state arrives
         # with committed shardings (parallel/tp.py); GSPMD propagates
@@ -278,6 +283,74 @@ class Trainer:
         self.train_step = self._make_train_step()
         self.eval_step = make_eval_step(model, config, mesh)
         self._lrs = opt_lib.lr_dict(config)
+        # Auto-input-layout path (single chip only): AOT-compile the
+        # step per batch shape with compiler-chosen (AUTO) layouts for
+        # the data batch, then feed batches already in those layouts —
+        # deleting the in-step input relayout copy (measured 0.78 ms of
+        # the 24.6 ms b8 train step, docs/performance.md r4). Cache:
+        # shape-key -> (executable, input formats) | None (fallback).
+        self._aot_cache = {}
+        self._auto_layout = (
+            bool(getattr(config, "auto_input_layout", True))
+            and mesh is None and self._pp1f1b is None
+        )
+
+    @staticmethod
+    def _shape_key(batch):
+        leaves, treedef = jax.tree.flatten(batch)
+        return (treedef,
+                tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
+
+    def _layout_entry(self, batch):
+        """(executable, batch formats) for this batch's shapes, compiled
+        on first sight; None = this shape permanently falls back to the
+        plain jitted step (e.g. a backend without layout support)."""
+        key = self._shape_key(batch)
+        if key in self._aot_cache:
+            return self._aot_cache[key]
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            raw = make_train_step(
+                self.model, self.tx, self.config, None, jit=False
+            )
+            jfn = jax.jit(
+                raw, donate_argnums=(0,),
+                in_shardings=(None, Format(Layout.AUTO), None),
+            )
+            compiled = jfn.lower(self.state, batch, self._lrs).compile()
+            fmts = compiled.input_formats[0][1]
+            entry = (compiled, fmts)
+        except Exception as e:  # pragma: no cover - backend-specific
+            import warnings
+
+            warnings.warn(
+                f"auto_input_layout unavailable for this shape "
+                f"({type(e).__name__}: {e}); using the default-layout "
+                "step", stacklevel=2,
+            )
+            entry = None
+        self._aot_cache[key] = entry
+        return entry
+
+    @property
+    def compile_count(self) -> int:
+        """Compiled train-step programs (one per batch shape)."""
+        if self._auto_layout:
+            return len(self._aot_cache) + self.train_step._cache_size()
+        return self.train_step._cache_size()
+
+    def aot_compiled(self, batch):
+        """The executable ``step`` would run for this batch's shapes,
+        plus the batch-relayout function — for benches/cost analysis."""
+        entry = self._layout_entry(batch) if self._auto_layout else None
+        if entry is None:
+            compiled = self.train_step.lower(
+                self.state, batch, self._lrs
+            ).compile()
+            return compiled, jax.device_put
+        compiled, fmts = entry
+        return compiled, (lambda b: jax.device_put(b, fmts))
 
     def _make_train_step(self):
         if self._pp1f1b is not None:
@@ -329,10 +402,20 @@ class Trainer:
                 self.state = mesh_lib.replicate(self.state, self.mesh)
         self.train_step = self._make_train_step()
         self._lrs = opt_lib.lr_dict(self.config)
+        self._aot_cache = {}  # executables bake tx/config: recompile
 
     def step(self, batch):
         if self.mesh is not None and "data" in self.mesh.axis_names:
             batch = mesh_lib.shard_batch(batch, self.mesh)
+        if self._auto_layout:
+            entry = self._layout_entry(batch)
+            if entry is not None:
+                compiled, fmts = entry
+                # No-op when the batch (e.g. from prefetch) already
+                # carries the executable's layouts.
+                batch = jax.device_put(batch, fmts)
+                self.state, log = compiled(self.state, batch, self._lrs)
+                return log
         self.state, log = self.train_step(self.state, batch, self._lrs)
         return log
 
@@ -353,7 +436,14 @@ class Trainer:
             if self.mesh is not None:
                 batch = mesh_lib.shard_batch(batch, self.mesh)
             else:
-                batch = jax.device_put(batch)
+                # Peek-only layout lookup: once step() has compiled this
+                # shape, prefetched batches transfer straight into the
+                # executable's layouts (the relayout rides the overlapped
+                # host->device copy instead of the step's critical path).
+                entry = (self._aot_cache.get(self._shape_key(batch))
+                         if self._auto_layout else None)
+                batch = (jax.device_put(batch, entry[1]) if entry
+                         else jax.device_put(batch))
             buf.append(batch)
             if len(buf) >= depth:
                 yield buf.popleft()

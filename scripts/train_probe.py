@@ -107,12 +107,12 @@ def main():
             log = trainer.step(batches[hw])
             float(jax.device_get(log["total_loss"]))
             t_compile[hw] = time.time() - t0
-        n_compiles = trainer.train_step._cache_size()
+        n_compiles = trainer.compile_count
         assert n_compiles == len(ladder), (n_compiles, len(ladder))
         for hw in ladder:  # cycle 2: cache hits only
             log = trainer.step(batches[hw])
             float(jax.device_get(log["total_loss"]))
-        assert trainer.train_step._cache_size() == len(ladder)
+        assert trainer.compile_count == len(ladder)
         print(f"compiles: {n_compiles} == len(ladder) == {len(ladder)} "
               "(cycle 2 added none)")
         print(f"{'rung':>10} | {'compile+1st (s)':>15} | "
@@ -122,7 +122,7 @@ def main():
                        iters=10)
             print(f"{hw[0]}x{hw[1]:<5} | {t_compile[hw]:>15.1f} | "
                   f"{t*1e3:>9.2f} | {b/t:>10.1f}")
-        assert trainer.train_step._cache_size() == len(ladder)
+        assert trainer.compile_count == len(ladder)
         return
 
     batch = jax.device_put({

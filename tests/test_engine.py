@@ -46,6 +46,45 @@ def _init(model, rng_key=0):
     return model.init(jax.random.PRNGKey(rng_key), jnp.zeros((1, 32, 32, 3)))
 
 
+def test_auto_input_layout_path_matches_plain(rng):
+    """The auto-input-layout AOT step (default, single chip) computes
+    the identical update to the plain jitted step, one executable per
+    batch shape, and prefetch reuses the compiled formats."""
+    model = _tiny_model()
+    variables = _init(model)
+    config = TrainingConfig(
+        background_class=0, train_backbone=True, train_transformers=True,
+        target_batch=None, backbone_lr=1e-3, transformers_lr=1e-3,
+    )
+    t_auto = Trainer(model, variables, config)
+    t_plain = Trainer(
+        model, variables, config.replace(auto_input_layout=False)
+    )
+    assert t_auto._auto_layout and not t_plain._auto_layout
+
+    b1, b2 = _batch(rng), _batch(rng, h=48, w=32)
+    for b in (b1, b2, b1):
+        la = t_auto.step(b)
+        lp = t_plain.step(b)
+        np.testing.assert_allclose(
+            float(la["total_loss"]), float(lp["total_loss"]), rtol=1e-6
+        )
+    # one executable per shape, reused across repeats
+    assert t_auto.compile_count == 2, t_auto.compile_count
+    # params advanced identically through the AOT path
+    for a, p in zip(
+        jax.tree.leaves(jax.device_get(t_auto.state.params)),
+        jax.tree.leaves(jax.device_get(t_plain.state.params)),
+    ):
+        np.testing.assert_allclose(a, p, atol=1e-6)
+    # prefetch peeks the cached formats without compiling anything new
+    host = {k: np.asarray(v) for k, v in _batch(rng).items()}
+    out = list(t_auto.prefetch(iter([host]), depth=1))
+    assert len(out) == 1
+    t_auto.step(out[0])
+    assert t_auto.compile_count == 2
+
+
 def test_param_labels_partition():
     model = _tiny_model(head="finetune", nb_class=4)
     variables = _init(model)
