@@ -50,6 +50,14 @@ N_WALL_SAMPLES = int(os.environ.get("BENCH_WALL_SAMPLES", "3"))
 N_TRACE_SAMPLES = int(os.environ.get("BENCH_TRACE_SAMPLES", "2"))
 
 
+def _np_bf16():
+    """numpy bfloat16 dtype (from jax's own ml_dtypes dependency)."""
+    import ml_dtypes
+    import numpy as np
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
 def relay_health():
     """Wall time of a ~1.3 ms jitted 4096^2 bf16 matmul. The remote-TPU
     relay has multi-minute stall episodes (docs/performance.md "Cold
@@ -301,10 +309,14 @@ def bench_train(on_tpu: bool):
 
     rng = np.random.default_rng(0)
     n_t = 16 if on_tpu else 8  # target slots must fit the query budget
+    # bf16 image ingest like the shipped host pipeline (HostDataset
+    # image_dtype=compute_dtype): halves the image transfer and deletes
+    # the in-step f32->bf16 convert (0.88 ms at 41 GB/s, r4 trace).
+    img_dtype = _np_bf16() if on_tpu else np.float32
     batch_data = {
-        "images": np.asarray(
-            rng.normal(size=(batch, height, width, 3)), np.float32
-        ),
+        "images": rng.normal(
+            size=(batch, height, width, 3)
+        ).astype(img_dtype),
         "boxes": np.clip(
             rng.uniform(0.2, 0.8, size=(batch, n_t, 4)), 0.05, 0.95
         ).astype(np.float32),
@@ -400,9 +412,9 @@ def bench_train_batch_scaling(on_tpu: bool, batches=(16, 32)):
             rng = np.random.default_rng(0)
             n_t = 16
             batch_data = jax.device_put({
-                "images": np.asarray(
-                    rng.normal(size=(batch, height, width, 3)), np.float32
-                ),
+                "images": rng.normal(
+                    size=(batch, height, width, 3)
+                ).astype(_np_bf16()),
                 "boxes": np.clip(
                     rng.uniform(0.2, 0.8, size=(batch, n_t, 4)), 0.05, 0.95
                 ).astype(np.float32),
@@ -499,7 +511,7 @@ def main():
             "train_images_per_sec_chip": (
                 round(train["ips"], 2) if train else None
             ),
-            "train_workload": "batch 8 @ 376x672, full step (fwd+match+loss+bwd+3-group Adam)",
+            "train_workload": "batch 8 @ 376x672, bf16 ingest, full step (fwd+match+loss+bwd+3-group Adam)",
             "best_of_n_wall_samples": {
                 "infer": infer["wall_samples"],
                 "train": train["wall_samples"] if train else None,

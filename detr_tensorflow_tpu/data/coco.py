@@ -221,6 +221,7 @@ def load_coco_dataset(
         batch_transform=plan.batch_transform if plan else None,
         on_epoch_start=plan.set_epoch if plan else None,
         pad_remainder=eval_batched,
+        image_dtype=getattr(config, "compute_dtype", None),
     )
     dataset.background_class = background_class
     return dataset, class_names

@@ -178,6 +178,7 @@ def load_coco_panoptic_train(
     dataset = HostDataset(
         index.image_ids(), load_example, batch_size, shuffle=shuffle,
         seed=seed, num_workers=num_workers,
+        image_dtype=getattr(config, "compute_dtype", None),
     )
     dataset.background_class = background_class
     dataset.stuff_classes = index.stuff_classes
@@ -265,6 +266,7 @@ def load_coco_panoptic(
     dataset = HostDataset(
         index.image_ids(), load_example, batch_size, shuffle=shuffle,
         num_workers=num_workers,
+        image_dtype=getattr(config, "compute_dtype", None),
     )
     dataset.background_class = background_class
     dataset.stuff_classes = index.stuff_classes

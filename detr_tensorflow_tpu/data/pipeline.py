@@ -86,6 +86,15 @@ class HostDataset:
         key to EVERY batch (False on padded slots). Keeps the batch dim
         static for XLA while evaluating every example exactly once —
         the batched-eval mode (eval.py --batch N).
+      image_dtype: optional numpy-compatible dtype name for the batch's
+        ``images`` array (e.g. ``"bfloat16"``). When the model computes
+        in bf16 its first op casts the image anyway, so casting on the
+        HOST is numerically identical (both are round-to-nearest) while
+        halving the host->device image bytes and deleting the in-step
+        f32->bf16 convert (measured 0.88 ms of the b8 376x672 train
+        step at 41 GB/s — docs/performance.md round 4). Applied after
+        ``batch_transform`` (whose cv2 resizes need a cv2-native
+        dtype). ``None``/``"float32"`` = no cast.
     """
 
     def __init__(
@@ -102,6 +111,7 @@ class HostDataset:
         batch_transform: Callable = None,
         on_epoch_start: Callable = None,
         pad_remainder: bool = False,
+        image_dtype: str = None,
     ):
         self.indices = list(indices)
         self.load_fn = load_fn
@@ -114,9 +124,25 @@ class HostDataset:
         self.batch_transform = batch_transform
         self.on_epoch_start = on_epoch_start
         self.pad_remainder = pad_remainder
+        self._image_dtype = None
+        if image_dtype not in (None, "float32"):
+            import ml_dtypes  # numpy bf16 comes from jax's own dep
+
+            self._image_dtype = (
+                np.dtype(ml_dtypes.bfloat16)
+                if image_dtype == "bfloat16" else np.dtype(image_dtype)
+            )
         self._emitted = 0  # lifetime batch counter for batch_transform
         self._epoch = 0
         self._rng = np.random.default_rng(seed)
+
+    def _cast_images(self, batch: Dict) -> Dict:
+        """Final ``images`` dtype cast (see ``image_dtype``); runs in
+        the producer thread, overlapped with device compute."""
+        if self._image_dtype is not None and "images" in batch:
+            batch = dict(batch)
+            batch["images"] = batch["images"].astype(self._image_dtype)
+        return batch
 
     def __len__(self) -> int:
         """Upper bound on batches per epoch: ``load_fn`` may filter
@@ -199,7 +225,7 @@ class HostDataset:
                                     batch, self._emitted
                                 )
                                 self._emitted += 1
-                            if not safe_put(batch):
+                            if not safe_put(self._cast_images(batch)):
                                 return
                             pending[key] = []
                     if self.pad_remainder:
@@ -222,7 +248,7 @@ class HostDataset:
                                     batch, self._emitted
                                 )
                                 self._emitted += 1
-                            if not safe_put(batch):
+                            if not safe_put(self._cast_images(batch)):
                                 return
                     # else: drop remainder per bucket (static shapes,
                     # drop_remainder=True parity)

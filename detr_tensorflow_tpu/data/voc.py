@@ -134,6 +134,7 @@ def load_voc_dataset(
         bucket_key=plan.bucket_key if plan else None,
         batch_transform=plan.batch_transform if plan else None,
         on_epoch_start=plan.set_epoch if plan else None,
+        image_dtype=getattr(config, "compute_dtype", None),
     )
     dataset.background_class = 0
     return dataset, class_names

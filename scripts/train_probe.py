@@ -86,9 +86,15 @@ def main():
     rng = np.random.default_rng(0)
     n_t = 16
 
+    import ml_dtypes
+
+    # bf16 image ingest like the shipped pipeline (HostDataset
+    # image_dtype=compute_dtype; the model computes in bf16 anyway).
+    np_bf16 = np.dtype(ml_dtypes.bfloat16)
+
     def make_batch(bh, bw):
         return jax.device_put({
-            "images": np.asarray(rng.normal(size=(b, bh, bw, 3)), np.float32),
+            "images": rng.normal(size=(b, bh, bw, 3)).astype(np_bf16),
             "boxes": np.clip(rng.uniform(0.2, 0.8, size=(b, n_t, 4)), 0.05,
                              0.95).astype(np.float32),
             "classes": rng.integers(1, 80, size=(b, n_t)).astype(np.int32),
@@ -126,7 +132,7 @@ def main():
         return
 
     batch = jax.device_put({
-        "images": np.asarray(rng.normal(size=(b, h, w, 3)), np.float32),
+        "images": rng.normal(size=(b, h, w, 3)).astype(np_bf16),
         "boxes": np.clip(rng.uniform(0.2, 0.8, size=(b, n_t, 4)), 0.05,
                          0.95).astype(np.float32),
         "classes": rng.integers(1, 80, size=(b, n_t)).astype(np.int32),

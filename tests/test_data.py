@@ -536,3 +536,32 @@ def test_multiscale_coco_loader_sync_mode(coco_root):
             seen.add((h, w))
             assert batch["t_masks"].shape[2:] == (-(-h // 4), -(-w // 4))
     assert seen == set(rungs), seen
+
+
+def test_bf16_image_ingest(coco_root):
+    """compute_dtype="bfloat16" makes the host pipeline emit bf16 images
+    — numerically identical to the model's own first cast (both RN),
+    half the host->device image bytes, and no in-step f32->bf16 convert
+    (docs/performance.md round 4)."""
+    import ml_dtypes
+
+    base = dict(
+        data=DataConfig(data_dir=str(coco_root), img_dir="images",
+                        ann_file="ann.json"),
+        image_size=(64, 96),
+    )
+    cfg32 = TrainingConfig(**base)
+    cfg16 = TrainingConfig(**base, compute_dtype="bfloat16")
+    ds32, _ = load_coco_dataset(cfg32, batch_size=2, augmentation=False,
+                                shuffle=False, num_workers=1)
+    ds16, _ = load_coco_dataset(cfg16, batch_size=2, augmentation=False,
+                                shuffle=False, num_workers=1)
+    b32, b16 = next(iter(ds32)), next(iter(ds16))
+    assert b32["images"].dtype == np.float32
+    assert b16["images"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        b32["images"].astype(ml_dtypes.bfloat16), b16["images"]
+    )
+    # non-image arrays keep their dtypes
+    assert b16["boxes"].dtype == np.float32
+    assert b16["classes"].dtype == np.int32
