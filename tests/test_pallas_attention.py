@@ -346,6 +346,97 @@ class TestFusedBottleneck:
         )
 
 
+class TestProductionShapes:
+    """The kernel at the shapes production actually serves (VERDICT r4
+    #1): ``attn_impl="auto"`` (the default) routes key lengths >=
+    AUTO_PALLAS_MIN_KEYS=1024 to the flash kernel — which is exactly the
+    800x1344 eval/bench bucket (25x42 = 1050 keys). Everything below
+    pins forward numerics, ragged masks, the custom VJP, and dropout
+    determinism at lk in {1024, 1050} (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("lq,lk", [
+        (1050, 1050),   # encoder self-attention, 800x1344 bucket
+        (100, 1050),    # decoder cross-attention, 800x1344 bucket
+        (1024, 1024),   # exactly the auto-dispatch threshold
+    ])
+    def test_forward_parity(self, rng, lq, lk):
+        b, h, dh = 1, 8, 32  # the production head geometry (256/8)
+        q = jnp.asarray(
+            rng.normal(size=(b, lq, h, dh)).astype(np.float32)) * dh**-0.5
+        k = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        ours = flash_attention.mha(q, k, v)
+        ref = flash_attention.reference_mha(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("lk", [1024, 1050])
+    def test_forward_parity_ragged_mask(self, rng, lk):
+        """Bucketed eval at 800x1344: each batch element's true image is
+        smaller than the bucket, so the kernel sees ragged valid key
+        prefixes (the real serving configuration)."""
+        b, lq, h, dh = 2, lk, 8, 32
+        q = jnp.asarray(
+            rng.normal(size=(b, lq, h, dh)).astype(np.float32)) * dh**-0.5
+        k = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        mask = np.zeros((b, lk), bool)
+        mask[0, 805:] = True   # a 736x1120 image inside the 800x1344 bucket
+        mask[1, 988:] = True   # a 779x1300 image
+        ours = flash_attention.mha(q, k, v, key_padding_mask=jnp.asarray(mask))
+        ref = flash_attention.reference_mha(
+            q, k, v, key_padding_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("lk", [1024, 1050])
+    def test_vjp_parity(self, rng, lk):
+        """Custom-VJP backward at production key lengths, ragged mask."""
+        b, lq, h, dh = 1, 256, 8, 32
+        q = jnp.asarray(
+            rng.normal(size=(b, lq, h, dh)).astype(np.float32)) * dh**-0.5
+        k = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        m = np.zeros((b, lk), bool)
+        m[0, 1000:] = True
+        mask = jnp.asarray(m)
+        w = jnp.asarray(rng.normal(size=(b, lq, h, dh)).astype(np.float32))
+
+        def ours_loss(q, k, v):
+            return jnp.sum(
+                flash_attention.mha(q, k, v, key_padding_mask=mask) * w)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(
+                flash_attention.reference_mha(
+                    q, k, v, key_padding_mask=mask) * w)
+
+        g_ours = jax.grad(ours_loss, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_ours, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
+
+    def test_dropout_deterministic_at_1050(self, rng):
+        """In-kernel dropout at the production key length: same seed ->
+        identical output; rate 0 with a seed == no-dropout path."""
+        from detr_tensorflow_tpu.ops.pallas.flash_attention import mha
+
+        b, lq, lk, h, dh = 1, 128, 1050, 2, 32
+        q = jnp.asarray(
+            rng.normal(size=(b, lq, h, dh)).astype(np.float32)) * dh**-0.5
+        k = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        base = mha(q, k, v)
+        zero_rate = mha(q, k, v, dropout_rate=0.0,
+                        dropout_seed=jnp.asarray([7], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(zero_rate))
+        seed = jnp.asarray([123], jnp.int32)
+        a = mha(q, k, v, dropout_rate=0.1, dropout_seed=seed)
+        b_ = mha(q, k, v, dropout_rate=0.1, dropout_seed=seed)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 class TestAutoDispatch:
     """attn_impl="auto" (VERDICT r3 item 5): shape-dispatched flash
     kernel — pallas exactly when the key length crosses the threshold
@@ -371,6 +462,35 @@ class TestAutoDispatch:
             "pallas"
         monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
         assert T.resolve_attn_impl("auto", 4096) == "xla"
+
+    def test_auto_routes_model_to_kernel_at_production_keys(
+        self, rng, monkeypatch
+    ):
+        """On a TPU backend the DEFAULT dispatch sends the 800x1344
+        eval/bench bucket (1050 keys) through the flash kernel: tracing
+        the transformer under attn_impl='auto' emits pallas_call ops at
+        1050 keys and none at the 252-key train size (VERDICT r4 #1 —
+        the production path is the kernel, so the kernel must be what
+        the tests exercise)."""
+        import jax
+
+        from detr_tensorflow_tpu.models.transformer import Transformer
+
+        kw = dict(model_dim=32, num_heads=4, num_encoder_layers=1,
+                  num_decoder_layers=1, dim_feedforward=32, dropout=0.0)
+        m_auto = Transformer(attn_impl="auto", **kw)
+        qe = jnp.zeros((6, 32), jnp.float32)
+
+        def trace(lk):
+            x = jnp.zeros((1, lk, 32), jnp.float32)
+            v = Transformer(attn_impl="xla", **kw).init(
+                jax.random.PRNGKey(0), x, x, qe)
+            return str(jax.make_jaxpr(
+                lambda vv, xx: m_auto.apply(vv, xx, xx, qe))(v, x))
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert "pallas_call" in trace(1050)
+        assert "pallas_call" not in trace(252)
 
     def test_auto_model_equals_xla_off_tpu(self, rng):
         """On the CPU suite, an auto model IS the xla model bit for bit
