@@ -36,7 +36,8 @@ def build_model(config, masks: bool = False):
 
 
 def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
-               mask_lattice: str = "full", stuff_classes=None):
+               mask_lattice: str = "full", stuff_classes=None,
+               protocol: str = "reference"):
     """mask_lattice:
       * "full" (COCO protocol, default): predicted masks are cropped to
         the valid stride-4 region, bilinearly upsampled to the original
@@ -80,6 +81,15 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
         return _post(outputs, None)
 
     evaluator = MeanAPEvaluator(num_classes=len(class_names), class_names=class_names)
+    coco_ev = None
+    if protocol == "cocoeval":
+        # Parallel accumulation under the pycocotools convention
+        # (metrics/coco_protocol.py) — box AP only; measured to agree
+        # with the reference protocol exactly on crowd-free, <=100-det
+        # data (tests/test_coco_protocol.py).
+        from detr_tensorflow_tpu.metrics import COCOProtocolEvaluator
+
+        coco_ev = COCOProtocolEvaluator(num_classes=len(class_names))
     pq_pred_maps, pq_pred_labels, pq_gt_masks, pq_gt_classes = [], [], [], []
     pq_gt_crowd, pq_void = [], []
     for it, batch in enumerate(valid_dt):
@@ -171,6 +181,11 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
                 batch["classes"][bi][:n],
                 p_masks=p_masks, t_masks=t_masks,
             )
+            if coco_ev is not None:
+                coco_ev.add_image(
+                    p_bbox, p_labels, p_scores, t_yxyx,
+                    batch["classes"][bi][:n],
+                )
             if (report_pq and seg_ is not None and t_masks is not None
                     and not use_full):
                 pq_pred_maps.append(np.asarray(seg_[bi]))
@@ -181,6 +196,11 @@ def eval_model(model, config, class_names, valid_dt, report_pq: bool = False,
                 pq_void.append(None)
         print(f"Computing map.....{it}", end="\r")
     table = evaluator.print_table()
+    if coco_ev is not None:
+        ct = coco_ev.compute()["box"]
+        print("cocoeval-protocol box AP: "
+              + "  ".join(f"{k}: {v:5.2f}" for k, v in ct.items()))
+        table["box_cocoeval"] = ct
     if report_pq and pq_pred_maps:
         from detr_tensorflow_tpu.metrics import panoptic_quality
 
@@ -254,6 +274,17 @@ if __name__ == "__main__":
              "annotation path without .json, the COCO convention).",
     )
     parser.add_argument(
+        "--protocol", choices=["reference", "cocoeval"],
+        default="reference",
+        help="'reference' (default): the Yolact-greedy AP protocol the "
+             "reference ships (compute_map.py). 'cocoeval': ALSO report "
+             "box AP under the pycocotools COCOeval convention "
+             "(metrics/coco_protocol.py) — the convention published "
+             "detection numbers use. tests/test_coco_protocol.py "
+             "measures the delta: zero on crowd-free data with <=100 "
+             "detections/image.",
+    )
+    parser.add_argument(
         "--paper_protocol", action="store_true",
         help="DETR-paper eval resize (shortest side 800, max 1333) — the "
              "protocol behind the paper's AP 42.0; the reference carries "
@@ -293,4 +324,5 @@ if __name__ == "__main__":
     eval_model(detr, config, class_names, valid_dt,
                report_pq=args.pq and args.masks,
                mask_lattice=args.mask_lattice,
-               stuff_classes=stuff_classes)
+               stuff_classes=stuff_classes,
+               protocol=args.protocol)

@@ -73,9 +73,14 @@ def test_eval_script_flow(coco_root):
     variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     model = DetrModel(module, variables)
 
-    table = eval_mod.eval_model(model, config, class_names, valid_dt)
+    table = eval_mod.eval_model(model, config, class_names, valid_dt,
+                                protocol="cocoeval")
     assert "box" in table and "all" in table["box"]
     assert np.isfinite(table["box"]["all"])
+    # --protocol cocoeval rides along: the pycocotools-convention table
+    # must be present and finite (metrics/coco_protocol.py).
+    assert "box_cocoeval" in table
+    assert np.isfinite(table["box_cocoeval"]["all"])
 
 
 def test_finetune_flow_with_staged_unfreeze(coco_root):
