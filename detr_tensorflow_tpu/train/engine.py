@@ -161,13 +161,14 @@ def make_1f1b_train_step(
     Same contract as ``make_train_step`` (3-group optimizer, runtime
     LRs, donated state) but gradients come from the interleaved
     pipeline schedule (``parallel.detr_1f1b.detr_1f1b_value_and_grad``
-    — encoder staged over ``stage_axis``, O(depth) activation memory,
-    gradients equal to the sequential model). The log carries
-    ``total_loss`` + LRs only: component attribution would require
-    re-running the loss outside the schedule. Dropout trains through
-    the schedule (per-layer keys ride with the stages, replayed
-    exactly in the backward re-linearization); scope otherwise matches
-    the integration's v1 (head="detr", no masks).
+    — encoder AND decoder layers staged over ``stage_axis`` as one
+    slot sequence, O(depth) activation memory, gradients equal to the
+    sequential model). The log carries ``total_loss`` + LRs only:
+    component attribution would require re-running the loss outside
+    the schedule. Dropout trains through the schedule (per-slot keys
+    ride with the stages, replayed exactly in the backward
+    re-linearization); scope otherwise: head="detr", no masks (those
+    route to GPipe — Trainer handles the fallback).
     """
     background_class = int(config.background_class)
     from ..parallel.detr_1f1b import detr_1f1b_value_and_grad

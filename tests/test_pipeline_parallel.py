@@ -731,6 +731,71 @@ class TestDetr1F1BValueAndGrad:
         ) == len(jax.tree.leaves(new_params))
 
 
+    def test_8stage_enc_dec_staged_equals_sequential(self, rng):
+        """VERDICT r4 #5 'done' criterion: 8-stage 1F1B with BOTH the
+        encoder and decoder stacks on the stage axis (6+6 layers -> 12
+        slots over 8 stages, per=2 with 4 identity pad slots at the
+        tail), loss and full gradient tree equal to the sequential
+        model."""
+        from detr_tensorflow_tpu.models import DETR
+        from detr_tensorflow_tpu.ops.losses import detr_loss
+        from detr_tensorflow_tpu.parallel.detr_1f1b import (
+            detr_1f1b_value_and_grad)
+
+        model = DETR(
+            num_classes=8, num_queries=6, model_dim=16, num_heads=2,
+            num_encoder_layers=6, num_decoder_layers=6,
+            dim_feedforward=32, backbone_stage_sizes=(1, 1, 1, 1),
+            dropout=0.0,
+        )
+        b = 8
+        images = jnp.asarray(
+            rng.normal(size=(b, 32, 32, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), images[:1])
+        batch = {
+            "images": images,
+            "boxes": jnp.asarray(
+                np.clip(rng.uniform(0.2, 0.8, (b, 6, 4)), 0.05, 0.95)
+                .astype(np.float32)),
+            "classes": jnp.ones((b, 6), jnp.int32),
+            "mask": jnp.asarray(
+                np.tile([True, True, False, False, False, False],
+                        (b, 1))),
+        }
+
+        def seq_loss(p):
+            out = model.apply(
+                {"params": p, "frozen": variables["frozen"]},
+                batch["images"])
+            total, _ = detr_loss(
+                out, batch["boxes"], batch["classes"], batch["mask"], 7)
+            return total
+
+        loss_seq, g_seq = jax.value_and_grad(seq_loss)(
+            variables["params"])
+
+        mesh = make_mesh(8, axis_names=("stage",))
+        loss, grads = jax.jit(
+            lambda v, bt: detr_1f1b_value_and_grad(
+                model, v, bt, mesh, background_class=7)
+        )(variables, batch)
+
+        np.testing.assert_allclose(float(loss), float(loss_seq),
+                                   rtol=1e-5)
+        flat_pp = {jax.tree_util.keystr(k): v for k, v in
+                   jax.tree_util.tree_leaves_with_path(grads)}
+        for k, v in jax.tree_util.tree_leaves_with_path(g_seq):
+            ks = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(flat_pp[ks]), np.asarray(v),
+                rtol=5e-4, atol=5e-5, err_msg=ks)
+        # every decoder layer (not just the last-stage ones) got a
+        # nonzero gradient — the staging really spread them out
+        for i in range(6):
+            g = grads["transformer"][f"decoder_layer_{i}"]
+            assert max(float(np.abs(np.asarray(l)).max())
+                       for l in jax.tree.leaves(g)) > 0, i
+
     def test_dropout_trains_through_schedule(self, rng):
         """model.dropout > 0: per-layer encoder keys ride with the
         stages (exactly replayed in the backward re-linearization) and
