@@ -303,9 +303,23 @@ class Trainer:
                 tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
 
     def _layout_entry(self, batch):
-        """(executable, batch formats) for this batch's shapes, compiled
-        on first sight; None = this shape permanently falls back to the
-        plain jitted step (e.g. a backend without layout support)."""
+        """(executable, put_batch) for this batch's shapes, compiled on
+        first sight; None = this shape permanently falls back to the
+        plain jitted step (e.g. a backend without layout support).
+
+        ``put_batch`` places a batch in the executable's input layouts.
+        Preferred: ``jax.device_put(batch, formats)`` — zero device
+        work once the host hands over the right layout. Some stacks
+        silently IGNORE the layout in device_put (observed on jax
+        0.9.0: a batch-minor image layout came back in the transfer
+        default, and the AOT call then raises a layout mismatch), so
+        the placement is VERIFIED on the example batch; when it does
+        not stick, a jitted identity with ``out_shardings=formats``
+        does the relayout on device — a tiny bandwidth copy that rides
+        the async dispatch (and overlaps fully under ``prefetch``),
+        still deleting the in-step relayout. If even that disagrees,
+        the entry falls back to None.
+        """
         key = self._shape_key(batch)
         if key in self._aot_cache:
             return self._aot_cache[key]
@@ -321,7 +335,26 @@ class Trainer:
             )
             compiled = jfn.lower(self.state, batch, self._lrs).compile()
             fmts = compiled.input_formats[0][1]
-            entry = (compiled, fmts)
+
+            def _matches(placed):
+                ok = True
+                for got, want in zip(jax.tree.leaves(placed),
+                                     jax.tree.leaves(fmts)):
+                    if want.layout is not None and \
+                            str(got.format.layout) != str(want.layout):
+                        ok = False
+                return ok
+
+            put_batch = lambda b: jax.device_put(b, fmts)  # noqa: E731
+            if not _matches(put_batch(batch)):
+                relayout = jax.jit(lambda b: b, out_shardings=fmts)
+                put_batch = lambda b: relayout(jax.device_put(b))  # noqa: E731
+                if not _matches(put_batch(batch)):
+                    raise RuntimeError(
+                        "backend ignored the executable's input layouts "
+                        "in both device_put and a jitted relayout"
+                    )
+            entry = (compiled, put_batch)
         except Exception as e:  # pragma: no cover - backend-specific
             import warnings
 
@@ -350,8 +383,7 @@ class Trainer:
                 self.state, batch, self._lrs
             ).compile()
             return compiled, jax.device_put
-        compiled, fmts = entry
-        return compiled, (lambda b: jax.device_put(b, fmts))
+        return entry
 
     def _make_train_step(self):
         if self._pp1f1b is not None:
@@ -411,10 +443,10 @@ class Trainer:
         if self._auto_layout:
             entry = self._layout_entry(batch)
             if entry is not None:
-                compiled, fmts = entry
+                compiled, put_batch = entry
                 # No-op when the batch (e.g. from prefetch) already
                 # carries the executable's layouts.
-                batch = jax.device_put(batch, fmts)
+                batch = put_batch(batch)
                 self.state, log = compiled(self.state, batch, self._lrs)
                 return log
         self.state, log = self.train_step(self.state, batch, self._lrs)
@@ -443,7 +475,7 @@ class Trainer:
                 # host->device copy instead of the step's critical path).
                 entry = (self._aot_cache.get(self._shape_key(batch))
                          if self._auto_layout else None)
-                batch = (jax.device_put(batch, entry[1]) if entry
+                batch = (entry[1](batch) if entry
                          else jax.device_put(batch))
             buf.append(batch)
             if len(buf) >= depth:
