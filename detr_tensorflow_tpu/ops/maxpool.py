@@ -33,6 +33,8 @@ one relayout, which XLA fuses into bandwidth-bound kernels.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -42,22 +44,34 @@ Array = jnp.ndarray
 _NEG = -jnp.inf
 
 
-def _max_pool_fwd_raw(x: Array) -> Array:
-    """3x3/s2, pad 1 (torch MaxPool2d(3, 2, 1)) on NHWC via reduce_window.
+def _max_pool_fwd_raw(x: Array, nonneg: bool = False) -> Array:
+    """3x3/s2, pad 1 (torch MaxPool2d(3, 2, 1)) on NHWC.
 
-    (A max tree over the backward's 9 ``_offset_views`` was measured as
-    an alternative forward in round 4: bit-identical, but XLA's
-    separable reduce_window lowering is faster on chip — 0.12 vs
-    0.38 ms at the b8 stem shape — so the forward stays reduce_window.)
+    Default: XLA ``reduce_window``. (A max tree over the backward's 9
+    ``_offset_views`` was measured as an alternative forward in round
+    4: bit-identical, but XLA's separable reduce_window lowering is
+    faster on chip — 0.12 vs 0.38 ms at the b8 stem shape.)
+
+    ``nonneg=True`` (the stem's post-relu call site) additionally
+    enables the Pallas row-streaming kernel on TPU for shapes it
+    supports — XLA's reduce_window fusion measured 332 GB/s at the
+    b32 inference stem shape where the kernel streams at the bandwidth
+    roofline (ops/pallas/maxpool.py; zero-padding == -inf padding only
+    for nonnegative inputs, hence the flag).
     """
+    if nonneg and jax.default_backend() == "tpu":
+        from .pallas.maxpool import max_pool_3x3_s2_pallas, supported
+
+        if supported(x.shape):
+            return max_pool_3x3_s2_pallas(x)
     return lax.reduce_window(
         x, _NEG, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
 
 
-@jax.custom_vjp
-def max_pool_3x3_s2(x: Array) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def max_pool_3x3_s2(x: Array, nonneg: bool = False) -> Array:
     """3x3 stride-2 pad-1 max pool, NHWC, with a gather-based VJP.
 
     Forward is bit-identical to
@@ -66,12 +80,14 @@ def max_pool_3x3_s2(x: Array) -> Array:
     maximum in row-major window order receives the full gradient; exact
     up to fp32 summation order when one pixel wins two overlapping
     windows) but compiles to fused selects/pads instead of a scatter.
+    ``nonneg=True`` asserts the input is >= 0 (the stem's post-relu
+    activations) and unlocks the Pallas forward on TPU.
     """
-    return _max_pool_fwd_raw(x)
+    return _max_pool_fwd_raw(x, nonneg)
 
 
-def _fwd(x: Array):
-    return _max_pool_fwd_raw(x), x
+def _fwd(x: Array, nonneg: bool = False):
+    return _max_pool_fwd_raw(x, nonneg), x
 
 
 def _offset_views(xpad: Array, oh: int, ow: int):
@@ -92,7 +108,8 @@ def _offset_views(xpad: Array, oh: int, ow: int):
     return views
 
 
-def _bwd(x: Array, g: Array):
+def _bwd(nonneg: bool, x: Array, g: Array):
+    del nonneg  # the gather backward is valid for any input
     b, h, w, c = x.shape
     oh, ow = g.shape[1], g.shape[2]
     xpad = jnp.pad(

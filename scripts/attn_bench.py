@@ -95,6 +95,30 @@ def main():
         for impl, t in best.items():
             print(f"full fwd [{impl}] b={args.batch} {h}x{w}: "
                   f"{t * 1e3:.1f} ms -> {args.batch / t:.1f} img/s")
+
+        # Full-model XLA-vs-Pallas numerics at the production shape
+        # (VERDICT r4 #1c): the max-abs logits/box diff between the two
+        # attention paths on the SAME weights, on chip. Expected: bf16
+        # rounding noise (the kernel's fp32 softmax matches the XLA
+        # path's structure exactly).
+        outs = {}
+        for impl in ("xla", "pallas"):
+            model = DETR(num_classes=92, dropout=0.0, dtype=jnp.bfloat16,
+                         attn_impl=impl)
+            out = jax.jit(
+                lambda v, x, model=model: model.apply(v, x)
+            )(variables, images)
+            outs[impl] = jax.device_get(
+                jax.tree.map(lambda a: np.asarray(a, np.float32), out)
+            )
+        d_logits = float(np.abs(
+            outs["xla"]["pred_logits"] - outs["pallas"]["pred_logits"]
+        ).max())
+        d_boxes = float(np.abs(
+            outs["xla"]["pred_boxes"] - outs["pallas"]["pred_boxes"]
+        ).max())
+        print(f"full-model xla-vs-pallas max|diff| @ {h}x{w} b="
+              f"{args.batch}: logits {d_logits:.2e}, boxes {d_boxes:.2e}")
         return
 
     from detr_tensorflow_tpu.ops.pallas import flash_attention

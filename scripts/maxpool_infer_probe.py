@@ -26,41 +26,46 @@ from detr_tensorflow_tpu.ops.maxpool import max_pool_3x3_s2  # noqa: E402
 from detr_tensorflow_tpu.ops.pallas import maxpool as pl_maxpool  # noqa: E402
 
 
-def bench(fn, x, label, iters=20):
-    f = jax.jit(fn)
-    r = f(x)
-    jax.block_until_ready(r)
-    best = 1e9
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            r = f(x)
-        jax.block_until_ready(r)
-        best = min(best, (time.time() - t0) / iters * 1e3)
-    gb = (x.size + r.size) * x.dtype.itemsize / 1e9
-    print(f"{label}: {best:.3f} ms  ({gb / best * 1e3:.0f} GB/s)")
-    return best
-
-
 def main():
     print("devices:", jax.devices(), file=sys.stderr)
-    b, h, w, c = 32, 400, 672, 64
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((b, h, w, c)).astype(
-            np.float32), jnp.bfloat16)
-    bench(max_pool_3x3_s2, x, "xla reduce_window (b32 infer shape)")
-    bench(pl_maxpool.max_pool_3x3_s2_pallas, x, "pallas maxpool")
-    # parity
-    a = jax.jit(max_pool_3x3_s2)(x)
-    p = jax.jit(pl_maxpool.max_pool_3x3_s2_pallas)(x)
-    print("max |diff|:", float(jnp.abs(
-        a.astype(jnp.float32) - p.astype(jnp.float32)).max()))
-    # train shape too
-    xt = jnp.asarray(
-        np.random.default_rng(1).standard_normal((8, 188, 336, 64)).astype(
-            np.float32), jnp.bfloat16)
-    bench(max_pool_3x3_s2, xt, "xla reduce_window (b8 train shape)")
-    bench(pl_maxpool.max_pool_3x3_s2_pallas, xt, "pallas maxpool (train)")
+
+    for (b, h, w, c), tag in (((32, 400, 672, 64), "b32 infer"),
+                              ((8, 188, 336, 64), "b8 train")):
+        x = jnp.asarray(
+            np.abs(np.random.default_rng(0).standard_normal(
+                (b, h, w, c))).astype(np.float32), jnp.bfloat16)
+        fns = {
+            "xla": jax.jit(lambda x: max_pool_3x3_s2(x)
+                           .astype(jnp.float32).sum()),
+            "pallas": jax.jit(
+                lambda x: pl_maxpool.max_pool_3x3_s2_pallas(x)
+                .astype(jnp.float32).sum()),
+            "pallas-mm": jax.jit(
+                lambda x: pl_maxpool.max_pool_3x3_s2_pallas(
+                    x, mode="matmul").astype(jnp.float32).sum()),
+        }
+        for f in fns.values():
+            float(f(x))  # compile+warm
+        # Interleaved best-of-3 rounds, each sample materialized via a
+        # scalar sum (block_until_ready is unreliable over the relay).
+        best = {k: 1e9 for k in fns}
+        iters = 20
+        for _ in range(3):
+            for name, f in fns.items():
+                t0 = time.time()
+                for _ in range(iters):
+                    r = f(x)
+                float(r)
+                best[name] = min(best[name],
+                                 (time.time() - t0) / iters * 1e3)
+        gb = (x.size + x.size // 4) * x.dtype.itemsize / 1e9
+        for name, ms in best.items():
+            print(f"{tag} {name}: {ms:.3f} ms  ({gb / ms * 1e3:.0f} GB/s)")
+        a = jax.jit(max_pool_3x3_s2)(x)
+        for mode in ("reduce", "matmul"):
+            p = pl_maxpool.max_pool_3x3_s2_pallas(x, mode=mode)
+            print(f"{tag} max |diff| [{mode}]:", float(jnp.abs(
+                a.astype(jnp.float32) - p.astype(jnp.float32)).max()))
 
 
 if __name__ == "__main__":

@@ -89,3 +89,33 @@ def test_jit_bf16():
     np.testing.assert_array_equal(
         np.asarray(g, np.float32), np.asarray(gr, np.float32)
     )
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 96, 8), (1, 188, 336, 16),
+                                   (1, 100, 128, 8)])
+@pytest.mark.parametrize("mode", ["reduce", "matmul"])
+def test_pallas_kernel_parity(shape, mode):
+    """The parked Pallas maxpool (ops/pallas/maxpool.py, default off —
+    measured slower than XLA, kept as the documented negative result):
+    exact forward parity on nonnegative inputs, both horizontal-window
+    lowerings (interpret mode on CPU; hardware parity verified on-chip
+    by scripts/maxpool_infer_probe.py)."""
+    from detr_tensorflow_tpu.ops.pallas.maxpool import (
+        max_pool_3x3_s2_pallas, supported,
+    )
+
+    assert supported(shape)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.abs(rng.normal(size=shape)).astype(np.float32))
+    ref = max_pool_3x3_s2(x)
+    got = max_pool_3x3_s2_pallas(x, mode=mode)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_pallas_kernel_gating():
+    """nonneg=False (the default everywhere) never routes to the
+    kernel; unsupported shapes are rejected by `supported`."""
+    from detr_tensorflow_tpu.ops.pallas.maxpool import supported
+
+    assert not supported((1, 37, 64, 8))   # odd height
+    assert not supported((1, 64, 97, 8))   # odd width
