@@ -269,10 +269,22 @@ def bench_inference(on_tpu: bool):
     compiled = lowered.compile()
     t_compile = time.time() - t1
     try:  # feed the executable its own preferred input layout
-        images = jax.device_put(images, compiled.input_formats[0][1])
-        jax.block_until_ready(images)
-    except Exception:
-        pass
+        fmt = compiled.input_formats[0][1]
+        placed = jax.device_put(images, fmt)
+        jax.block_until_ready(placed)
+        # Some stacks silently IGNORE layouts in device_put (see
+        # docs/performance.md r5, the train path hit this); verify, and
+        # fall back to the default-layout executable when it does not
+        # stick — the AOT call would otherwise raise at dispatch.
+        if fmt.layout is not None and \
+                str(placed.format.layout) != str(fmt.layout):
+            raise RuntimeError("backend ignored the input layout")
+        images = placed
+    except Exception as e:
+        print(f"bench[infer]: auto input layout unavailable "
+              f"({type(e).__name__}: {e}); default-layout step",
+              file=sys.stderr)
+        compiled = jax.jit(forward_fn).lower(variables, images).compile()
     t1 = time.time()
     float(compiled(variables, images))  # first execution
     t_exec = time.time() - t1

@@ -173,6 +173,7 @@ class ExportedPredictor(Predictor):
         self.masks = bool(m["masks"])
         self.mask_threshold = float(m["mask_threshold"])
         self._compiled = {}
+        self._aot = {}  # AUTO-layout entries (Predictor.warmup)
         self._buckets = [tuple(bk) for bk in m["buckets"]]
         for ph, pw in self._buckets:
             with open(

@@ -319,6 +319,16 @@ class Trainer:
         the async dispatch (and overlaps fully under ``prefetch``),
         still deleting the in-step relayout. If even that disagrees,
         the entry falls back to None.
+
+        Two stack quirks the relayout path works around (measured on
+        chip, docs/performance.md r5): (a) the ``Format`` objects from
+        ``compiled.input_formats`` are REBUILT with a concrete
+        ``SingleDeviceSharding`` before use as ``out_shardings``; (b)
+        the persistent compilation cache mis-keys identity functions
+        across different output formats — a cached ``jit identity``
+        with stale layouts gets served silently — so the relayout is
+        AOT-compiled with the persistent cache disabled and the held
+        executable is reused directly.
         """
         key = self._shape_key(batch)
         if key in self._aot_cache:
@@ -335,25 +345,14 @@ class Trainer:
             )
             compiled = jfn.lower(self.state, batch, self._lrs).compile()
             fmts = compiled.input_formats[0][1]
+            from ..utils.layouts import verified_put
 
-            def _matches(placed):
-                ok = True
-                for got, want in zip(jax.tree.leaves(placed),
-                                     jax.tree.leaves(fmts)):
-                    if want.layout is not None and \
-                            str(got.format.layout) != str(want.layout):
-                        ok = False
-                return ok
-
-            put_batch = lambda b: jax.device_put(b, fmts)  # noqa: E731
-            if not _matches(put_batch(batch)):
-                relayout = jax.jit(lambda b: b, out_shardings=fmts)
-                put_batch = lambda b: relayout(jax.device_put(b))  # noqa: E731
-                if not _matches(put_batch(batch)):
-                    raise RuntimeError(
-                        "backend ignored the executable's input layouts "
-                        "in both device_put and a jitted relayout"
-                    )
+            put_batch = verified_put(fmts, batch)
+            if put_batch is None:
+                raise RuntimeError(
+                    "backend ignored the executable's input layouts "
+                    "in both device_put and a jitted relayout"
+                )
             entry = (compiled, put_batch)
         except Exception as e:  # pragma: no cover - backend-specific
             import warnings
