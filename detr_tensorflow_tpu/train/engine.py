@@ -347,12 +347,7 @@ class Trainer:
             fmts = compiled.input_formats[0][1]
             from ..utils.layouts import verified_put
 
-            put_batch = verified_put(fmts, batch)
-            if put_batch is None:
-                raise RuntimeError(
-                    "backend ignored the executable's input layouts "
-                    "in both device_put and a jitted relayout"
-                )
+            put_batch = verified_put(fmts, batch)  # raises with detail
             entry = (compiled, put_batch)
         except Exception as e:  # pragma: no cover - backend-specific
             import warnings
