@@ -9,16 +9,16 @@ naive version (both measured on chip, jax 0.9.0 + the axon TPU relay):
 * ``jax.device_put(x, format)`` silently IGNORES a layout that differs
   from the transfer default (the array comes back default-laid-out and
   the AOT call raises a layout mismatch at dispatch);
-* a jitted identity with ``out_shardings=formats`` works — but only
+* a jitted identity with ``out_shardings=formats`` sometimes works —
   with ``Format`` objects rebuilt around a concrete
-  ``SingleDeviceSharding``, and only over a pytree containing JUST the
-  leaves that need relayout: with the full mixed-dtype batch dict
-  (float images/boxes + int32 classes + bool mask) XLA silently drops
-  the layout assignment for some float outputs (isolated on chip:
-  the identical images+boxes relayout succeeds as a 2-leaf tree and
-  fails inside the 4-leaf tree). The relayout identity is therefore
-  compiled over the mismatching subset only, with the persistent
-  compilation cache bypassed for good measure.
+  ``SingleDeviceSharding`` and the persistent compilation cache
+  bypassed — and sometimes silently yields transfer-default layouts
+  for some float leaves (nondeterministic across processes; measured
+  both ways with identical code). A subset-tree variant (relayout only
+  the mismatching leaves) was tried and REMOVED: executing it left the
+  backend in a state where the NEXT unrelated execution's results read
+  back as INVALID_ARGUMENT (3/3 runs); the whole-tree variant never
+  did that.
 
 ``verified_put`` encapsulates the ladder: device_put when it sticks, a
 cache-bypassed subset relayout identity otherwise (with one retry —
@@ -63,26 +63,20 @@ def verified_put(fmts: Pytree, example: Pytree) -> Optional[Callable]:
     the layouts."""
     from jax.experimental.layout import Format, Layout
 
-    base_put = lambda b: jax.device_put(b, fmts)  # noqa: E731
-    fmt_leaves, treedef = jax.tree.flatten(fmts)
-    placed0 = treedef.flatten_up_to(base_put(example))
-    bad = [
-        i for i, (p, w) in enumerate(zip(placed0, fmt_leaves))
-        if w.layout is not None and
-        str(p.format.layout) != str(w.layout)
-    ]
-    if not bad:
-        return base_put
+    put = lambda b: jax.device_put(b, fmts)  # noqa: E731
+    if _matches(put(example), fmts):
+        return put
 
     from jax.sharding import SingleDeviceSharding
 
     sh = SingleDeviceSharding(jax.devices()[0])
-    rebuilt = tuple(
-        Format(Layout(major_to_minor=fmt_leaves[i].layout.major_to_minor,
-                      tiling=fmt_leaves[i].layout.tiling), sh)
-        for i in bad
+    rebuilt = jax.tree.map(
+        lambda f: Format(
+            Layout(major_to_minor=f.layout.major_to_minor,
+                   tiling=f.layout.tiling), sh)
+        if f.layout is not None else Format(sharding=sh),
+        fmts,
     )
-    example_bad = tuple(treedef.flatten_up_to(example)[i] for i in bad)
     cache_flag = "jax_enable_compilation_cache"
     relayout = None
     err = None
@@ -91,8 +85,8 @@ def verified_put(fmts: Pytree, example: Pytree) -> Optional[Callable]:
         jax.config.update(cache_flag, False)
         try:
             relayout = jax.jit(
-                lambda xs: xs, out_shardings=rebuilt
-            ).lower(example_bad).compile()
+                lambda b: b, out_shardings=rebuilt
+            ).lower(example).compile()
             break
         except Exception as e:
             err = e
@@ -103,23 +97,16 @@ def verified_put(fmts: Pytree, example: Pytree) -> Optional[Callable]:
             f"relayout identity failed to compile: "
             f"{type(err).__name__}: {err}"
         )
-
-    def put(b):
-        leaves = treedef.flatten_up_to(base_put(b))
-        fixed = relayout(tuple(leaves[i] for i in bad))
-        for i, v in zip(bad, fixed):
-            leaves[i] = v
-        return jax.tree.unflatten(treedef, leaves)
-
-    placed = treedef.flatten_up_to(put(example))
+    put = lambda b: relayout(jax.device_put(b))  # noqa: E731
+    placed = put(example)
     detail = "; ".join(
         f"want {str(w.layout)} got {str(p.format.layout)}"
-        for p, w in zip(placed, fmt_leaves)
+        for p, w in zip(jax.tree.leaves(placed), jax.tree.leaves(fmts))
         if w.layout is not None and str(p.format.layout) != str(w.layout)
     )
     if detail:
         raise RuntimeError(
             "backend ignored layouts even through the cache-bypassed "
-            f"subset relayout identity: {detail}"
+            f"relayout identity: {detail}"
         )
     return put
