@@ -48,20 +48,43 @@ _NEG_INF = -1e9
 # 1024 routes exactly the measured-win region to the kernel.
 AUTO_PALLAS_MIN_KEYS = 1024
 
+# The TRAIN crossover sits far lower: differentiating XLA attention
+# materializes the (B*H, Lq, Lk) score matrices in HBM on the forward
+# AND re-reads them on the backward, bytes the flash kernel (custom VJP,
+# in-kernel recompute) never writes. Full train step A/B on the chip
+# (scripts/attn_train_probe.py, b8 376x672 = 231 keys, dropout 0.1,
+# interleaved best-of-3 + 3-step device-time traces, r5):
+#
+#   variant    wall ms   device ms   HBM GB
+#   xla        27.93     24.16       20.97
+#   pallas     27.41     23.61       19.71   (100-key decoder self-attn
+#                                             pays the 128-pad tax)
+#   auto@128   27.30     23.53       19.71   -> kernel wins from ~128
+#
+# 128 routes encoder self-attn + decoder cross-attn to the kernel at
+# every realistic training size while decoder self-attn (num_queries
+# = 100 keys) stays on XLA's fused softmax.
+AUTO_PALLAS_MIN_KEYS_TRAIN = 128
+
 
 def resolve_attn_impl(attn_impl: str, lk: int,
-                      return_weights: bool = False) -> str:
+                      return_weights: bool = False,
+                      train: bool = False) -> str:
     """Resolve "auto" to a concrete implementation for one call site.
 
     Pure shape logic + a backend check, so the dispatch is unit-testable
     off-TPU: "auto" means the Pallas flash kernel exactly when the key
-    length crosses ``AUTO_PALLAS_MIN_KEYS``, attention weights aren't
-    requested, and the default backend is TPU (the kernel only pays off
-    on hardware; the CPU interpreter would be orders slower).
+    length crosses ``AUTO_PALLAS_MIN_KEYS`` (``_TRAIN`` when
+    ``train=True`` — the backward's score-matrix HBM traffic moves the
+    crossover from ~1024 down to ~128 keys, measured in
+    scripts/attn_train_probe.py), attention weights aren't requested,
+    and the default backend is TPU (the kernel only pays off on
+    hardware; the CPU interpreter would be orders slower).
     """
     if attn_impl != "auto":
         return attn_impl
-    if return_weights or lk < AUTO_PALLAS_MIN_KEYS:
+    min_keys = AUTO_PALLAS_MIN_KEYS_TRAIN if train else AUTO_PALLAS_MIN_KEYS
+    if return_weights or lk < min_keys:
         return "xla"
     import jax
 
@@ -112,7 +135,7 @@ class MultiHeadAttention(nn.Module):
         # attention-weight dropout (in-kernel counter-based PRNG whose
         # mask the backward kernel replays by re-seeding) — the full
         # reference training recipe runs through the flash path.
-        impl = resolve_attn_impl(self.attn_impl, lk, return_weights)
+        impl = resolve_attn_impl(self.attn_impl, lk, return_weights, train)
         use_pallas = impl == "pallas" and not return_weights
         if use_pallas:
             import jax as _jax

@@ -463,6 +463,29 @@ class TestAutoDispatch:
         monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
         assert T.resolve_attn_impl("auto", 4096) == "xla"
 
+    def test_train_threshold(self, monkeypatch):
+        """train=True lowers the crossover to AUTO_PALLAS_MIN_KEYS_TRAIN
+        (the backward's score-matrix HBM traffic, measured in
+        scripts/attn_train_probe.py): the 231-key train bucket routes to
+        the kernel when differentiating, stays on XLA forward-only, and
+        decoder self-attention (100 queries) stays on XLA in both."""
+        import jax
+
+        from detr_tensorflow_tpu.models import transformer as T
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert T.resolve_attn_impl("auto", 231, train=False) == "xla"
+        assert T.resolve_attn_impl("auto", 231, train=True) == "pallas"
+        assert T.resolve_attn_impl(
+            "auto", T.AUTO_PALLAS_MIN_KEYS_TRAIN, train=True) == "pallas"
+        assert T.resolve_attn_impl("auto", 100, train=True) == "xla"
+        # Weight requests still force XLA (kernel never materializes
+        # the weights), and CPU backends never see the kernel.
+        assert T.resolve_attn_impl(
+            "auto", 231, return_weights=True, train=True) == "xla"
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert T.resolve_attn_impl("auto", 231, train=True) == "xla"
+
     def test_auto_routes_model_to_kernel_at_production_keys(
         self, rng, monkeypatch
     ):
