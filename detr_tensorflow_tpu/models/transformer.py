@@ -52,7 +52,7 @@ AUTO_PALLAS_MIN_KEYS = 1024
 # materializes the (B*H, Lq, Lk) score matrices in HBM on the forward
 # AND re-reads them on the backward, bytes the flash kernel (custom VJP,
 # in-kernel recompute) never writes. Full train step A/B on the chip
-# (scripts/attn_train_probe.py, b8 376x672 = 231 keys, dropout 0.1,
+# (scripts/attn_train_probe.py, b8 376x672 = 252 keys, dropout 0.1,
 # interleaved best-of-3 + 3-step device-time traces, r5):
 #
 #   variant    wall ms   device ms   HBM GB

@@ -3,7 +3,7 @@
 The r4 crossover table (models/transformer.py:33-48) that fixed
 ``AUTO_PALLAS_MIN_KEYS = 1024`` was measured forward-only with the old
 fixed q_block=128 kernel. Round 5's auto q_block made the kernel ~15%
-faster, and the train step (batch 8, 376x672 -> 231 keys) is
+faster, and the train step (batch 8, 376x672 -> 252 keys) is
 byte-bound — XLA materializes the (B*H, L, L) score matrices in HBM on
 the forward AND keeps them for the backward, bytes the flash kernel
 deletes. This probe times the FULL train step (fwd + on-device matching
@@ -14,7 +14,7 @@ reference transformer.py:8) with the attention routed three ways:
   pallas     every attention on the flash kernel (incl. 100-key
              decoder self-attn, where the 128-pad overhead is pure tax)
   auto@N     AUTO_PALLAS_MIN_KEYS_TRAIN monkeypatched to N so encoder
-             self-attn + decoder cross-attn (lk=231) route to the
+             self-attn + decoder cross-attn (lk=252) route to the
              kernel while decoder self-attn (lk=100) stays on XLA
              (auto@128 is the shipped default since this probe's r5
              measurement — see models/transformer.py)
@@ -70,7 +70,8 @@ def main():
     from detr_tensorflow_tpu.train import Trainer, TrainingConfig
 
     b, (h, w) = args.batch, args.size
-    lk = (h // 32) * (w // 32)
+    # stride-32 feature map rounds UP at each stride-2 stage (SAME pads)
+    lk = -(-h // 32) * (-(-w // 32))
     print(f"devices={jax.devices()} batch={b} size={h}x{w} keys={lk}",
           file=sys.stderr)
 

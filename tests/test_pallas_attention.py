@@ -417,6 +417,46 @@ class TestProductionShapes:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
 
+    @pytest.mark.parametrize("lq,lk", [
+        (252, 252),   # encoder self-attention, b8 376x672 train recipe
+        (100, 252),   # decoder cross-attention, same
+    ])
+    def test_train_shape_vjp_parity(self, rng, lq, lk):
+        """The r5 train-aware dispatch (AUTO_PALLAS_MIN_KEYS_TRAIN=128)
+        routes the reference training recipe's 376x672 batches (12x21
+        stride-32 feature map = 252 keys) through the kernel when
+        differentiating; pin the custom VJP with a ragged mask at
+        exactly that shape."""
+        b, h, dh = 2, 8, 32
+        q = jnp.asarray(
+            rng.normal(size=(b, lq, h, dh)).astype(np.float32)) * dh**-0.5
+        k = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, lk, h, dh)).astype(np.float32))
+        m = np.zeros((b, lk), bool)
+        m[0, 180:] = True   # a smaller image inside the 376x672 bucket
+        mask = jnp.asarray(m)
+        w = jnp.asarray(rng.normal(size=(b, lq, h, dh)).astype(np.float32))
+
+        def ours_loss(q, k, v):
+            return jnp.sum(
+                flash_attention.mha(q, k, v, key_padding_mask=mask) * w)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(
+                flash_attention.reference_mha(
+                    q, k, v, key_padding_mask=mask) * w)
+
+        np.testing.assert_allclose(
+            np.asarray(flash_attention.mha(q, k, v, key_padding_mask=mask)),
+            np.asarray(flash_attention.reference_mha(
+                q, k, v, key_padding_mask=mask)),
+            atol=2e-5, rtol=1e-4)
+        g_ours = jax.grad(ours_loss, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_ours, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4, rtol=1e-3)
+
     def test_dropout_deterministic_at_1050(self, rng):
         """In-kernel dropout at the production key length: same seed ->
         identical output; rate 0 with a seed == no-dropout path."""
